@@ -1,0 +1,316 @@
+"""Stylization API: the orchestrator tying scheduler, losses, optimizer, mesh.
+
+Equivalent of the reference's ``StyleTransfer`` class (SURVEY.md section 2
+row 3, reconstructed): build the model, capture content/style targets, run
+the coarse-to-fine optimize loop, emit progress. The core is pure-functional
+(jitted target capture + jitted scan-of-steps with donated carries); this
+module is the thin stateful wrapper around it.
+
+Hot-loop structure per scale (SURVEY.md section 3.1, rebuilt TPU-first):
+
+1. ``capture`` (jitted, once per scale): preprocess + VGG forward for the
+   content image and each style image; blend style Grams on device.
+2. ``run_chunk`` (jitted, donated): ``lax.scan`` of N optimizer steps — each
+   step is VGG forward + backward, fused loss, Adam/L-BFGS update — entirely
+   on device. The host sees only per-chunk loss arrays.
+
+There is exactly one XLA compilation per (scale shape, chunk length); the
+scale ladder is static (schedule.py) so compile count is known ahead of time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from style_transfer_tpu.models import vgg as vgg_mod
+from style_transfer_tpu.models.weights import random_fixture
+from style_transfer_tpu.ops import losses as L
+from style_transfer_tpu.optim import OptimizerSpec, make_step_fn
+from style_transfer_tpu.parallel import mesh as mesh_mod
+from style_transfer_tpu.schedule import build_plan
+from style_transfer_tpu.utils import imgio
+from style_transfer_tpu.utils.progress import Callback, ProgressEvent
+
+
+@dataclasses.dataclass(frozen=True)
+class StylizeConfig:
+    """All stylization knobs (the CLI maps flags 1:1 onto this)."""
+
+    size: Union[int, Tuple[int, int]] = 512  # long side, or exact (H, W)
+    min_scale: int = 256
+    scale_factor: float = 2.0
+    iterations: Sequence[int] = (500,)
+    chunk_size: int = 50
+
+    content_layers: Sequence[str] = vgg_mod.DEFAULT_CONTENT_LAYERS
+    style_layers: Sequence[str] = vgg_mod.DEFAULT_STYLE_LAYERS
+    content_layer_weights: Optional[Sequence[float]] = None
+    style_layer_weights: Optional[Sequence[float]] = None
+
+    content_weight: float = 1.0
+    style_weight: float = 256.0
+    tv_weight: float = 2.0
+    style_blend_weights: Optional[Sequence[float]] = None
+    style_scale: float = 1.0  # style image long side relative to current scale
+
+    optimizer: OptimizerSpec = OptimizerSpec()
+    init: str = "content"  # "content" | "random" | "mean"
+    seed: int = 0
+
+    # Convergence-matched stopping (driver config 4, BASELINE.json:10):
+    # stop a scale early when the relative chunk-mean loss improvement stays
+    # below ``stop_tol`` for ``stop_patience`` consecutive chunks. 0 disables.
+    stop_tol: float = 0.0
+    stop_patience: int = 2
+
+    use_fused: bool = True  # Pallas Gram kernels (False = plain-XLA oracle path)
+
+    def end_size(self, content_hw: Tuple[int, int]) -> Tuple[int, int]:
+        if isinstance(self.size, int):
+            return imgio.scale_size(content_hw, self.size)
+        h, w = self.size
+        return int(h), int(w)
+
+
+class StyleTransfer:
+    """Stateful wrapper: model weights + mesh + jit caches.
+
+    ``params=None`` uses the deterministic random VGG-19 fixture (tests,
+    benches; SURVEY.md section 4) — pass weights from
+    :func:`style_transfer_tpu.models.weights.load_npz` for real stylization.
+    """
+
+    def __init__(
+        self,
+        params=None,
+        *,
+        mean=None,
+        std=None,
+        pooling: str = "average",
+        compute_dtype=None,
+        mesh=None,
+    ):
+        if params is None:
+            params, fmean, fstd = random_fixture(0)
+            mean = fmean if mean is None else mean
+            std = fstd if std is None else std
+        self.mean = np.asarray(imgio.IMAGENET_MEAN if mean is None else mean, np.float32)
+        self.std = np.asarray(imgio.IMAGENET_STD if std is None else std, np.float32)
+        self.pooling = pooling
+        if compute_dtype is None:
+            compute_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        self.compute_dtype = compute_dtype
+        self.mesh = mesh
+        self.params = mesh_mod.replicate(params, mesh)
+
+    # ---------------------------------------------------------------- model
+
+    def _features(self, image: jnp.ndarray, layers: Sequence[str]) -> Dict[str, jnp.ndarray]:
+        """Preprocess + VGG forward on an NHWC [0,1] image."""
+        x = imgio.preprocess(image, self.mean, self.std)
+        x = mesh_mod.constrain_spatial(x, self.mesh)
+        return vgg_mod.extract_features(
+            self.params, x, layers, pooling=self.pooling, compute_dtype=self.compute_dtype
+        )
+
+    def _gram_fn(self, cfg: StylizeConfig):
+        if cfg.use_fused:
+            from style_transfer_tpu.ops.pallas import gram as pgram
+
+            return pgram.gram_matrix
+        return L.gram_matrix
+
+    # ------------------------------------------------------------- stylize
+
+    def stylize(
+        self,
+        content: np.ndarray,
+        styles: Union[np.ndarray, Sequence[np.ndarray]],
+        config: Optional[StylizeConfig] = None,
+        *,
+        callback: Optional[Callback] = None,
+        init_image: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Run the full multi-scale stylization; returns float RGB (H, W, 3).
+
+        ``content``/``styles`` are float RGB [0,1] arrays (H, W, 3) as
+        produced by :func:`style_transfer_tpu.utils.imgio.load_image`.
+        """
+        cfg = config or StylizeConfig()
+        if isinstance(styles, np.ndarray) or (
+            hasattr(styles, "ndim") and getattr(styles, "ndim", 0) == 3
+        ):
+            styles = [styles]
+        styles = list(styles)
+        if not styles:
+            raise ValueError("need at least one style image")
+        blend = cfg.style_blend_weights or [1.0] * len(styles)
+        if len(blend) != len(styles):
+            raise ValueError(f"{len(styles)} styles but {len(blend)} blend weights")
+
+        content_t = imgio.to_nhwc(content)
+        style_ts = [imgio.to_nhwc(s) for s in styles]
+
+        c_weights = L.normalize_layer_weights(cfg.content_layers, cfg.content_layer_weights)
+        s_weights = L.normalize_layer_weights(cfg.style_layers, cfg.style_layer_weights)
+        all_layers = tuple(dict.fromkeys(list(cfg.content_layers) + list(cfg.style_layers)))
+        gram_fn = self._gram_fn(cfg)
+
+        # ---- jitted building blocks (shared across scales; retrace per shape)
+
+        @jax.jit
+        def capture_content(content_img):
+            feats = self._features(content_img, tuple(cfg.content_layers))
+            return {k: v for k, v in feats.items()}
+
+        @jax.jit
+        def capture_style(style_img):
+            feats = self._features(style_img, tuple(cfg.style_layers))
+            return {k: gram_fn(v) for k, v in feats.items()}
+
+        def objective(image, c_targets, s_targets):
+            image = mesh_mod.constrain_spatial(image, self.mesh)
+            feats = self._features(image, all_layers)
+            return_terms = L.objective_terms(
+                feats,
+                content_targets=c_targets,
+                style_targets=s_targets,
+                content_layer_weights=c_weights,
+                style_layer_weights=s_weights,
+                image=image,
+                content_weight=cfg.content_weight,
+                style_weight=cfg.style_weight,
+                tv_weight=cfg.tv_weight,
+                gram_fn=gram_fn,
+            )
+            return return_terms["loss"], return_terms
+
+        from functools import partial
+
+        @jax.jit
+        def init_opt_state(image):
+            return cfg.optimizer.build().init(image)
+
+        @partial(jax.jit, static_argnames="n", donate_argnames=("image", "opt_state"))
+        def run_chunk(image, opt_state, c_targets, s_targets, *, n):
+            step, _ = make_step_fn(
+                lambda im: objective(im, c_targets, s_targets), cfg.optimizer
+            )
+
+            def body(carry, _):
+                image, opt_state = carry
+                image, opt_state, aux = step(image, opt_state)
+                return (image, opt_state), aux
+
+            (image, opt_state), loss_seq = jax.lax.scan(
+                body, (image, opt_state), None, length=n
+            )
+            return image, opt_state, loss_seq
+
+        @partial(jax.jit, static_argnames="size")
+        def upsample(image, *, size):
+            out = imgio.resize_image(image, size)
+            return mesh_mod.constrain_spatial(out, self.mesh)
+
+        # ---- the multi-scale loop (SURVEY.md section 3.1 outer loop)
+
+        plan = build_plan(
+            cfg.end_size(content_t.shape[1:3]),
+            cfg.iterations,
+            min_scale=cfg.min_scale,
+            factor=cfg.scale_factor,
+        )
+        key = jax.random.PRNGKey(cfg.seed)
+        image: Optional[jnp.ndarray] = None
+
+        for scale in plan:
+            h, w = scale.size
+            content_s = upsample(content_t, size=(h, w))
+            c_targets = capture_content(content_s)
+
+            style_long = max(32, int(round(max(h, w) * cfg.style_scale)))
+            gram_list: Dict[str, list] = {l: [] for l in cfg.style_layers}
+            for st in style_ts:
+                sh, sw = imgio.scale_size(st.shape[1:3], style_long)
+                st_s = upsample(st, size=(sh - sh % 2, sw - sw % 2))
+                grams = capture_style(st_s)
+                for l in cfg.style_layers:
+                    gram_list[l].append(grams[l])
+            s_targets = {l: L.blend_grams(gs, blend) for l, gs in gram_list.items()}
+            s_targets = mesh_mod.replicate(s_targets, self.mesh)
+
+            if image is None:
+                image = self._init_image(
+                    cfg, content_s, init_image, key, (h, w)
+                )
+            else:
+                image = upsample(image, size=(h, w))
+            image = mesh_mod.shard_image(image, self.mesh)
+            opt_state = init_opt_state(image)
+
+            # ---- per-scale chunked optimize loop
+            done_iters = 0
+            prev_mean = None
+            stall = 0
+            while done_iters < scale.iterations:
+                n = min(cfg.chunk_size, scale.iterations - done_iters)
+                t0 = time.perf_counter()
+                image, opt_state, loss_seq = run_chunk(
+                    image, opt_state, c_targets, s_targets, n=n
+                )
+                losses = {k: np.asarray(v) for k, v in jax.device_get(loss_seq).items()}
+                dt = time.perf_counter() - t0
+                done_iters += n
+
+                if callback is not None:
+                    img_ref = image
+                    is_last = scale.index == plan[-1].index and done_iters >= scale.iterations
+                    callback(
+                        ProgressEvent(
+                            scale_index=scale.index,
+                            num_scales=len(plan),
+                            size=(h, w),
+                            iteration=done_iters,
+                            total_iterations=scale.iterations,
+                            losses=losses,
+                            its_per_sec=n / dt if dt > 0 else float("inf"),
+                            get_image=lambda img=img_ref: np.asarray(
+                                jnp.clip(jax.device_get(img)[0], 0.0, 1.0)
+                            ),
+                            done=is_last,
+                        )
+                    )
+
+                if cfg.stop_tol > 0:
+                    mean_loss = float(np.mean(losses["loss"]))
+                    if prev_mean is not None:
+                        rel = abs(prev_mean - mean_loss) / max(abs(prev_mean), 1e-12)
+                        stall = stall + 1 if rel < cfg.stop_tol else 0
+                        if stall >= cfg.stop_patience:
+                            break
+                    prev_mean = mean_loss
+
+        final = np.asarray(jax.device_get(image))[0]
+        return np.clip(final, 0.0, 1.0)
+
+    # ---------------------------------------------------------------- misc
+
+    def _init_image(self, cfg, content_s, init_image, key, size):
+        h, w = size
+        if init_image is not None:
+            img = imgio.to_nhwc(init_image)
+            return imgio.resize_image(img, (h, w))
+        if cfg.init == "content":
+            return content_s
+        if cfg.init == "random":
+            noise = jax.random.uniform(key, (1, h, w, 3), jnp.float32, 0.0, 1.0)
+            return noise
+        if cfg.init == "mean":
+            return jnp.full((1, h, w, 3), 0.5, jnp.float32)
+        raise ValueError(f"unknown init mode {cfg.init!r}")

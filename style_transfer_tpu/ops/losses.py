@@ -1,0 +1,121 @@
+"""Objective math: Gram matrices, content/style losses, TV regularizer.
+
+Plain-jnp implementations — this module is the permanent numerical oracle that
+the fused Pallas kernels (``style_transfer_tpu.ops.pallas``) are unit-checked
+against (SURVEY.md section 7 phase 1 step 3). Everything accumulates in
+float32 regardless of the activation compute dtype.
+
+Normalization conventions (fixed, documented, and scale-invariant so loss
+weights keep their meaning across the multi-scale pyramid):
+
+- Gram: ``G = F^T F / (H*W)`` with ``F`` the (H*W, C) feature matrix — entries
+  are channel co-activations, independent of resolution.
+- style layer loss: ``mean((G - G_target)^2)`` over the (C, C) entries.
+- content layer loss: ``mean((F - F_target)^2)`` over all elements.
+- TV: mean squared forward difference (isotropic L2 total variation).
+
+The reference computes the same family of quantities on Caffe blobs with
+NumPy on the host (SURVEY.md section 2 rows 6/7/9, reconstructed).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Sequence
+
+import jax.numpy as jnp
+
+
+def gram_matrix(feat: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W, C) activations -> (C, C) float32 Gram, normalized by H*W*N.
+
+    The einsum lowers to a single MXU contraction with the (huge) spatial axis
+    as the contracting dimension; ``preferred_element_type`` forces fp32
+    accumulation even for bfloat16 activations.
+    """
+    n, h, w, c = feat.shape
+    g = jnp.einsum(
+        "nhwc,nhwd->cd", feat, feat, preferred_element_type=jnp.float32
+    )
+    return g / jnp.asarray(n * h * w, jnp.float32)
+
+
+def content_loss(feat: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Mean squared error between activations, fp32."""
+    d = feat.astype(jnp.float32) - target.astype(jnp.float32)
+    return jnp.mean(jnp.square(d))
+
+
+def style_loss(gram: jnp.ndarray, target_gram: jnp.ndarray) -> jnp.ndarray:
+    """Mean squared error between (C, C) Grams, fp32."""
+    d = gram.astype(jnp.float32) - target_gram.astype(jnp.float32)
+    return jnp.mean(jnp.square(d))
+
+
+def tv_loss(image: jnp.ndarray) -> jnp.ndarray:
+    """Isotropic squared total variation of an NHWC image, mean-normalized.
+
+    Gradient at a constant image is exactly zero (property-tested).
+    """
+    x = image.astype(jnp.float32)
+    dh = x[:, 1:, :, :] - x[:, :-1, :, :]
+    dw = x[:, :, 1:, :] - x[:, :, :-1, :]
+    n = x.size
+    return (jnp.sum(jnp.square(dh)) + jnp.sum(jnp.square(dw))) / n
+
+
+def blend_grams(grams: Sequence[jnp.ndarray], weights: Sequence[float]) -> jnp.ndarray:
+    """Weighted blend of per-style Gram targets (multi-style, SURVEY.md row 7).
+
+    Weights are normalized to sum to 1 so adding a style never changes the
+    overall style-loss magnitude.
+    """
+    w = jnp.asarray(weights, jnp.float32)
+    w = w / jnp.sum(w)
+    stacked = jnp.stack([g.astype(jnp.float32) for g in grams])
+    return jnp.tensordot(w, stacked, axes=1)
+
+
+def normalize_layer_weights(layers: Sequence[str], weights=None) -> Dict[str, float]:
+    """Per-layer weight map, normalized to sum to 1 (uniform by default)."""
+    if weights is None:
+        weights = [1.0] * len(layers)
+    if len(weights) != len(layers):
+        raise ValueError(f"{len(layers)} layers but {len(weights)} weights")
+    total = float(sum(weights))
+    if total <= 0:
+        raise ValueError("layer weights must sum to a positive value")
+    return {l: float(w) / total for l, w in zip(layers, weights)}
+
+
+def objective_terms(
+    feats: Mapping[str, jnp.ndarray],
+    *,
+    content_targets: Mapping[str, jnp.ndarray],
+    style_targets: Mapping[str, jnp.ndarray],
+    content_layer_weights: Mapping[str, float],
+    style_layer_weights: Mapping[str, float],
+    image: jnp.ndarray,
+    content_weight: float,
+    style_weight: float,
+    tv_weight: float,
+    gram_fn=gram_matrix,
+) -> Dict[str, jnp.ndarray]:
+    """All loss terms from a feature dict. Returns fp32 scalars.
+
+    ``gram_fn`` is injectable so the fused Pallas Gram slots into the same
+    objective (and the oracle path stays runnable via ``--unfused``).
+    """
+    c_loss = jnp.asarray(0.0, jnp.float32)
+    for layer, w in content_layer_weights.items():
+        c_loss = c_loss + w * content_loss(feats[layer], content_targets[layer])
+    s_loss = jnp.asarray(0.0, jnp.float32)
+    for layer, w in style_layer_weights.items():
+        s_loss = s_loss + w * style_loss(gram_fn(feats[layer]), style_targets[layer])
+    t_loss = tv_loss(image)
+    total = content_weight * c_loss + style_weight * s_loss + tv_weight * t_loss
+    return {
+        "loss": total,
+        "content": c_loss,
+        "style": s_loss,
+        "tv": t_loss,
+    }

@@ -1,0 +1,114 @@
+"""Fused Pallas Gram-matrix kernel (TPU MXU) with custom VJP.
+
+The Gram matrix ``G = F^T F / M`` (``F``: (M, C) features, ``M = N*H*W``) is
+the style loss's hot op — at 4K, conv1_1's F is ~8.8M x 64, far beyond VMEM.
+This kernel streams row tiles of ``F`` through VMEM and accumulates the
+(C, C) product in a float32 VMEM accumulator on the MXU, never materializing
+more than one (TILE_M, C) block on-chip at a time (SURVEY.md section 7, hard
+part 4). Rows are zero-padded to the tile size — zero rows contribute nothing
+to ``F^T F``, so no masking is needed.
+
+The backward (``dF = F (dG + dG^T) / M``) is a single (M, C) x (C, C) matmul
+that XLA already schedules optimally, so the custom VJP lowers it to a plain
+``jnp`` contraction.
+
+Equivalent reference computation: NumPy ``A.dot(A.T)`` on host-fetched Caffe
+blobs (SURVEY.md section 2 row 7, reconstructed). Checked against the
+:func:`style_transfer_tpu.ops.losses.gram_matrix` oracle in
+``tests/test_pallas_gram.py``; runs in interpreter mode off-TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Row-tile size: (TILE_M, C<=512) fp32 block = <=1 MiB in VMEM, leaving room
+# for double buffering and the (C, C) accumulator within the ~16 MiB budget.
+TILE_M = 512
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _gram_kernel(f_ref, out_ref, acc_ref):
+    """Grid step i: acc += F_tile^T @ F_tile; final step writes out."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    tile = f_ref[:]
+    acc_ref[:] += jax.lax.dot_general(
+        tile,
+        tile,
+        dimension_numbers=(((0,), (0,)), ((), ())),  # F^T @ F over rows
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("normalizer",))
+def _gram_2d(f: jnp.ndarray, normalizer: int) -> jnp.ndarray:
+    """(M, C) features -> (C, C) float32 Gram / normalizer."""
+    m, c = f.shape
+    m_pad = pl.cdiv(m, TILE_M) * TILE_M
+    if m_pad != m:
+        f = jnp.pad(f, ((0, m_pad - m), (0, 0)))
+    grid = (m_pad // TILE_M,)
+    out = pl.pallas_call(
+        _gram_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_M, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, c), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((c, c), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * c * c,
+            bytes_accessed=m_pad * c * f.dtype.itemsize + c * c * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(f)
+    return out / jnp.asarray(normalizer, jnp.float32)
+
+
+@jax.custom_vjp
+def gram_matrix(feat: jnp.ndarray) -> jnp.ndarray:
+    """Drop-in fused replacement for :func:`ops.losses.gram_matrix`.
+
+    (N, H, W, C) activations -> (C, C) float32 Gram normalized by N*H*W.
+    """
+    n, h, w, c = feat.shape
+    return _gram_2d(feat.reshape(n * h * w, c), n * h * w)
+
+
+def _gram_fwd(feat):
+    return gram_matrix(feat), feat
+
+
+def _gram_bwd(feat, g):
+    n, h, w, c = feat.shape
+    m = n * h * w
+    sym = (g + g.T) / jnp.asarray(m, jnp.float32)
+    df = jnp.einsum(
+        "nhwc,cd->nhwd",
+        feat.astype(jnp.float32),
+        sym,
+        preferred_element_type=jnp.float32,
+    )
+    return (df.astype(feat.dtype),)
+
+
+gram_matrix.defvjp(_gram_fwd, _gram_bwd)

@@ -1,0 +1,143 @@
+"""End-to-end stylization on fixture weights at tiny sizes (SURVEY.md section 4,
+"golden end-to-end"): deterministic, loss decreases, all driver configs'
+feature combinations exercised on CPU.
+"""
+
+import numpy as np
+import pytest
+
+from style_transfer_tpu.api import StyleTransfer, StylizeConfig
+from style_transfer_tpu.optim import OptimizerSpec
+
+
+@pytest.fixture(scope="module")
+def st():
+    return StyleTransfer()  # fixture weights, CPU fp32
+
+
+@pytest.fixture(scope="module")
+def images(rng=None):
+    r = np.random.RandomState(42)
+    content = r.rand(48, 40, 3).astype(np.float32)
+    style = r.rand(40, 48, 3).astype(np.float32)
+    return content, style
+
+
+def _small_cfg(**kw):
+    base = dict(
+        size=32,
+        min_scale=32,
+        iterations=(6,),
+        chunk_size=3,
+        content_layers=("conv2_2",),
+        style_layers=("conv1_1", "conv2_1"),
+        use_fused=False,
+        optimizer=OptimizerSpec("adam", learning_rate=0.05),
+    )
+    base.update(kw)
+    return StylizeConfig(**base)
+
+
+def test_single_scale_adam_runs_and_descends(st, images):
+    content, style = images
+    events = []
+    out = st.stylize(content, style, _small_cfg(), callback=events.append)
+    assert out.shape == (32, 32, 3)  # long side 32, aspect 48:40 -> rounded even
+    assert np.isfinite(out).all()
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    first = float(events[0].losses["loss"][0])
+    last = float(events[-1].losses["loss"][-1])
+    assert last < first
+
+
+def test_deterministic_under_seed(st, images):
+    content, style = images
+    cfg = _small_cfg(init="random", seed=7)
+    out1 = st.stylize(content, style, cfg)
+    out2 = st.stylize(content, style, cfg)
+    np.testing.assert_array_equal(out1, out2)
+
+
+def test_multi_scale_pyramid(st, images):
+    content, style = images
+    cfg = _small_cfg(size=64, min_scale=32, iterations=(4, 2))
+    events = []
+    out = st.stylize(content, style, cfg, callback=events.append)
+    assert out.shape == (64, 52, 3)  # 48x40 content -> long side 64, even-rounded
+    sizes = sorted({ev.size for ev in events})
+    assert len(sizes) == 2  # two scales ran
+    assert events[-1].done
+
+
+def test_multi_style_blending(st, images):
+    content, style = images
+    r = np.random.RandomState(3)
+    style2 = r.rand(32, 32, 3).astype(np.float32)
+    cfg = _small_cfg(style_blend_weights=[0.7, 0.3])
+    out = st.stylize(content, [style, style2], cfg)
+    assert np.isfinite(out).all()
+    with pytest.raises(ValueError, match="blend weights"):
+        st.stylize(content, [style, style2], _small_cfg(style_blend_weights=[1.0]))
+
+
+def test_lbfgs_stylization(st, images):
+    content, style = images
+    cfg = _small_cfg(
+        optimizer=OptimizerSpec("lbfgs", memory_size=5),
+        iterations=(4,),
+        chunk_size=2,
+        tv_weight=0.5,
+    )
+    events = []
+    out = st.stylize(content, style, cfg, callback=events.append)
+    assert np.isfinite(out).all()
+    first = float(events[0].losses["loss"][0])
+    last = float(events[-1].losses["loss"][-1])
+    assert last <= first
+
+
+def test_convergence_matched_early_stop(st, images):
+    content, style = images
+    # tol=1 (100% relative change required to count as progress) stops after
+    # stop_patience chunks: 3 + 2 = at most 9 of the planned 30 iterations.
+    cfg = _small_cfg(iterations=(30,), stop_tol=1.0, stop_patience=2)
+    events = []
+    st.stylize(content, style, cfg, callback=events.append)
+    assert events[-1].iteration <= 9 < 30
+
+
+def test_init_modes(st, images):
+    content, style = images
+    for mode in ("content", "random", "mean"):
+        out = st.stylize(content, style, _small_cfg(init=mode, iterations=(2,)))
+        assert np.isfinite(out).all()
+    with pytest.raises(ValueError, match="init"):
+        st.stylize(content, style, _small_cfg(init="nope"))
+
+
+def test_init_image_override(st, images):
+    content, style = images
+    r = np.random.RandomState(5)
+    seed_img = r.rand(16, 16, 3).astype(np.float32)
+    out = st.stylize(content, style, _small_cfg(iterations=(2,)), init_image=seed_img)
+    assert out.shape == (32, 32, 3)
+
+
+def test_custom_layer_weights(st, images):
+    content, style = images
+    cfg = _small_cfg(
+        style_layers=("conv1_1", "conv2_1", "conv3_1"),
+        style_layer_weights=(1.0, 2.0, 4.0),
+        content_layers=("conv3_2",),
+        content_layer_weights=(1.0,),
+    )
+    out = st.stylize(content, style, cfg)
+    assert np.isfinite(out).all()
+
+
+def test_fused_gram_path_end_to_end(st, images):
+    """use_fused=True routes Grams through the Pallas kernel (interpret on CPU)."""
+    content, style = images
+    out_fused = st.stylize(content, style, _small_cfg(use_fused=True, iterations=(3,)))
+    out_oracle = st.stylize(content, style, _small_cfg(use_fused=False, iterations=(3,)))
+    np.testing.assert_allclose(out_fused, out_oracle, rtol=1e-4, atol=1e-5)
