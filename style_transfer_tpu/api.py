@@ -35,6 +35,7 @@ from style_transfer_tpu.optim import OptimizerSpec, make_step_fn
 from style_transfer_tpu.parallel import mesh as mesh_mod
 from style_transfer_tpu.schedule import build_plan
 from style_transfer_tpu.utils import imgio
+from style_transfer_tpu.utils.ckpt import flatten_opt_state, restore_opt_state
 from style_transfer_tpu.utils.progress import Callback, ProgressEvent
 
 
@@ -136,6 +137,7 @@ class StyleTransfer:
         *,
         callback: Optional[Callback] = None,
         init_image: Optional[np.ndarray] = None,
+        resume_state: Optional[dict] = None,
     ) -> np.ndarray:
         """Run the full multi-scale stylization; returns float RGB (H, W, 3).
 
@@ -229,7 +231,22 @@ class StyleTransfer:
         key = jax.random.PRNGKey(cfg.seed)
         image: Optional[jnp.ndarray] = None
 
+        # --resume: skip completed scales, restore image + optimizer state
+        # (SURVEY.md section 5, checkpoint/resume).
+        resume_scale = resume_iters = -1
+        resume_opt_leaves = None
+        if resume_state is not None:
+            resume_scale = int(resume_state["scale_index"])
+            resume_iters = int(resume_state["iteration"])
+            resume_opt_leaves = list(resume_state["opt_state_leaves"])
+            if resume_scale >= len(plan):
+                raise ValueError(
+                    f"checkpoint at scale {resume_scale} but plan has {len(plan)} scales"
+                )
+
         for scale in plan:
+            if scale.index < resume_scale:
+                continue
             h, w = scale.size
             content_s = upsample(content_t, size=(h, w))
             c_targets = capture_content(content_s)
@@ -245,17 +262,27 @@ class StyleTransfer:
             s_targets = {l: L.blend_grams(gs, blend) for l, gs in gram_list.items()}
             s_targets = mesh_mod.replicate(s_targets, self.mesh)
 
-            if image is None:
-                image = self._init_image(
-                    cfg, content_s, init_image, key, (h, w)
+            if scale.index == resume_scale:
+                image = mesh_mod.shard_image(
+                    jnp.asarray(resume_state["image"], jnp.float32), self.mesh
                 )
+                if image.shape != (1, h, w, 3):
+                    raise ValueError(
+                        f"checkpoint image shape {image.shape} does not match "
+                        f"scale {scale.index} shape (1, {h}, {w}, 3)"
+                    )
+                opt_state = restore_opt_state(init_opt_state(image), resume_opt_leaves)
+                done_iters = min(resume_iters, scale.iterations)
             else:
-                image = upsample(image, size=(h, w))
-            image = mesh_mod.shard_image(image, self.mesh)
-            opt_state = init_opt_state(image)
+                if image is None:
+                    image = self._init_image(cfg, content_s, init_image, key, (h, w))
+                else:
+                    image = upsample(image, size=(h, w))
+                image = mesh_mod.shard_image(image, self.mesh)
+                opt_state = init_opt_state(image)
+                done_iters = 0
 
             # ---- per-scale chunked optimize loop
-            done_iters = 0
             prev_mean = None
             stall = 0
             while done_iters < scale.iterations:
@@ -269,7 +296,8 @@ class StyleTransfer:
                 done_iters += n
 
                 if callback is not None:
-                    img_ref = image
+                    img_ref, opt_ref = image, opt_state
+                    it_ref, sc_ref = done_iters, scale.index
                     is_last = scale.index == plan[-1].index and done_iters >= scale.iterations
                     callback(
                         ProgressEvent(
@@ -284,6 +312,12 @@ class StyleTransfer:
                                 jnp.clip(jax.device_get(img)[0], 0.0, 1.0)
                             ),
                             done=is_last,
+                            get_state=lambda img=img_ref, opt=opt_ref, it=it_ref, sc=sc_ref: {
+                                "image": np.asarray(jax.device_get(img)),
+                                "opt_state_leaves": flatten_opt_state(opt),
+                                "scale_index": np.asarray(sc),
+                                "iteration": np.asarray(it),
+                            },
                         )
                     )
 

@@ -1,0 +1,243 @@
+"""Command-line interface.
+
+Mirrors the reference's argparse surface (SURVEY.md section 2 row 1,
+reconstructed: content/style paths, output, size, weights, layers, devices,
+iterations, seed, init, web port) and maps flags 1:1 onto
+:class:`style_transfer_tpu.api.StylizeConfig`. Kept deliberately thin so a
+backfilled real reference CLI is a rename-level change (SURVEY.md section 7,
+hard part 6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+from style_transfer_tpu.models.vgg import DEFAULT_CONTENT_LAYERS, DEFAULT_STYLE_LAYERS
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="style_transfer_tpu",
+        description="TPU-native neural style transfer (Gatys VGG-19 family).",
+    )
+    p.add_argument("content", help="content image path")
+    p.add_argument("styles", nargs="+", help="style image path(s)")
+    p.add_argument("-o", "--output", default="out.png", help="output image path")
+
+    g = p.add_argument_group("scales")
+    g.add_argument("-s", "--size", type=int, default=512, help="final long side in px")
+    g.add_argument("--min-scale", type=int, default=256, help="coarsest long side in px")
+    g.add_argument("--scale-factor", type=float, default=2.0, help="per-scale growth factor")
+    g.add_argument(
+        "-i", "--iterations", type=int, nargs="+", default=[500],
+        help="iterations per scale, coarse to fine (last repeats)",
+    )
+
+    g = p.add_argument_group("objective")
+    g.add_argument("--content-weight", type=float, default=1.0)
+    g.add_argument("--style-weight", type=float, default=256.0)
+    g.add_argument("--tv-weight", type=float, default=2.0)
+    g.add_argument("--content-layers", nargs="+", default=list(DEFAULT_CONTENT_LAYERS))
+    g.add_argument("--style-layers", nargs="+", default=list(DEFAULT_STYLE_LAYERS))
+    g.add_argument("--content-layer-weights", type=float, nargs="+", default=None)
+    g.add_argument("--style-layer-weights", type=float, nargs="+", default=None)
+    g.add_argument(
+        "--style-blend-weights", type=float, nargs="+", default=None,
+        help="relative weight per style image (multi-style Gram blending)",
+    )
+    g.add_argument("--style-scale", type=float, default=1.0,
+                   help="style image long side relative to the current scale")
+    g.add_argument("--pooling", choices=["average", "max"], default="average")
+
+    g = p.add_argument_group("optimizer")
+    g.add_argument("--optimizer", choices=["adam", "lbfgs"], default="adam")
+    g.add_argument("--lr", "--learning-rate", dest="lr", type=float, default=0.05)
+    g.add_argument("--lbfgs-memory", type=int, default=10)
+    g.add_argument("--init", default="content",
+                   help="'content', 'random', 'mean', or a path to an init image")
+    g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--stop-tol", type=float, default=0.0,
+                   help="relative per-chunk loss improvement below which a scale "
+                        "stops early (0 disables; convergence-matched runs)")
+    g.add_argument("--stop-patience", type=int, default=2)
+
+    g = p.add_argument_group("model weights")
+    g.add_argument("--weights", default=None,
+                   help="VGG-19 .npz weights (see scripts/convert_weights.py)")
+    g.add_argument("--random-weights", action="store_true",
+                   help="use the deterministic random fixture (tests/benches)")
+
+    g = p.add_argument_group("execution")
+    g.add_argument("--devices", type=int, default=None,
+                   help="shard spatially over the first N devices (default: all "
+                        "when >1 device is visible; 0 disables sharding)")
+    g.add_argument("--precision", choices=["bf16", "fp32"], default=None,
+                   help="activation compute dtype (default: bf16 on TPU)")
+    g.add_argument("--unfused", action="store_true",
+                   help="disable Pallas kernels; use the plain-XLA oracle path")
+    g.add_argument("--chunk-size", type=int, default=50,
+                   help="optimizer steps per device dispatch / host sync")
+    g.add_argument("--print-every", type=int, default=25)
+
+    g = p.add_argument_group("observability")
+    g.add_argument("--web", action="store_true", help="serve a live progress page")
+    g.add_argument("--port", type=int, default=8080, help="web monitor port")
+    g.add_argument("--host", default="127.0.0.1", help="web monitor bind host")
+    g.add_argument("--snapshot-every", type=int, default=0,
+                   help="save the in-progress image every N iterations (0 off)")
+    g.add_argument("--metrics-out", default=None, help="write run metrics JSON here")
+    g.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace into this directory")
+    g.add_argument("--checkpoint-dir", default=None,
+                   help="periodically checkpoint {image, opt state, schedule position}")
+    g.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in --checkpoint-dir")
+    g.add_argument("--debug-nans", action="store_true")
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    # Pin the platform before any jax compute when the user forces CPU.
+    import os
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
+    from style_transfer_tpu.api import StyleTransfer, StylizeConfig
+    from style_transfer_tpu.models.weights import load_npz, random_fixture
+    from style_transfer_tpu.optim import OptimizerSpec
+    from style_transfer_tpu.parallel.mesh import make_mesh
+    from style_transfer_tpu.utils import imgio
+    from style_transfer_tpu.utils.progress import MetricsRecorder, Printer, fanout
+
+    if args.weights:
+        params, mean, std = load_npz(args.weights)
+    elif args.random_weights:
+        params, mean, std = random_fixture(0)
+    else:
+        print(
+            "error: no VGG-19 weights. Pass --weights vgg19.npz (convert with "
+            "scripts/convert_weights.py) or --random-weights for a fixture run.",
+            file=sys.stderr,
+        )
+        return 2
+
+    n_dev = len(jax.devices())
+    mesh = None
+    if args.devices is None:
+        if n_dev > 1:
+            mesh = make_mesh()
+    elif args.devices > 1:
+        mesh = make_mesh(args.devices)
+
+    compute_dtype = None
+    if args.precision == "bf16":
+        compute_dtype = jnp.bfloat16
+    elif args.precision == "fp32":
+        compute_dtype = jnp.float32
+
+    st = StyleTransfer(
+        params, mean=mean, std=std, pooling=args.pooling,
+        compute_dtype=compute_dtype, mesh=mesh,
+    )
+
+    content = imgio.load_image(args.content)
+    styles = [imgio.load_image(s) for s in args.styles]
+
+    init_image = None
+    init_mode = args.init
+    if init_mode not in ("content", "random", "mean"):
+        init_image = imgio.load_image(init_mode)
+        init_mode = "content"
+
+    cfg = StylizeConfig(
+        size=args.size,
+        min_scale=args.min_scale,
+        scale_factor=args.scale_factor,
+        iterations=tuple(args.iterations),
+        chunk_size=args.chunk_size,
+        content_layers=tuple(args.content_layers),
+        style_layers=tuple(args.style_layers),
+        content_layer_weights=args.content_layer_weights,
+        style_layer_weights=args.style_layer_weights,
+        content_weight=args.content_weight,
+        style_weight=args.style_weight,
+        tv_weight=args.tv_weight,
+        style_blend_weights=args.style_blend_weights,
+        style_scale=args.style_scale,
+        optimizer=OptimizerSpec(
+            args.optimizer, learning_rate=args.lr, memory_size=args.lbfgs_memory
+        ),
+        init=init_mode,
+        seed=args.seed,
+        stop_tol=args.stop_tol,
+        stop_patience=args.stop_patience,
+        use_fused=not args.unfused,
+    )
+
+    metrics = MetricsRecorder()
+    callbacks = [Printer(every=args.print_every), metrics]
+
+    if args.snapshot_every > 0:
+        from style_transfer_tpu.utils.snapshots import SnapshotSaver
+
+        callbacks.append(SnapshotSaver(args.output, every=args.snapshot_every))
+
+    web_server = None
+    if args.web:
+        from style_transfer_tpu.web import WebMonitor
+
+        web_server = WebMonitor(host=args.host, port=args.port)
+        web_server.start()
+        callbacks.append(web_server.callback)
+        print(f"live view: http://{args.host}:{args.port}/", flush=True)
+
+    ckpt = None
+    if args.checkpoint_dir:
+        from style_transfer_tpu.utils.ckpt import CheckpointManager
+
+        ckpt = CheckpointManager(args.checkpoint_dir)
+        callbacks.append(ckpt.callback)
+
+    profile_ctx = None
+    if args.profile_dir:
+        profile_ctx = jax.profiler.trace(args.profile_dir)
+        profile_ctx.__enter__()
+
+    try:
+        resume_state = ckpt.latest() if (ckpt and args.resume) else None
+        out = st.stylize(
+            content,
+            styles,
+            cfg,
+            callback=fanout(*callbacks),
+            init_image=init_image,
+            resume_state=resume_state,
+        )
+    finally:
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
+        if web_server is not None:
+            web_server.stop()
+
+    imgio.save_image(out, args.output)
+    print(f"saved {args.output}", flush=True)
+    if args.metrics_out:
+        metrics.dump(args.metrics_out)
+        print(f"metrics -> {args.metrics_out}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -17,8 +17,12 @@ from style_transfer_tpu.utils.imgio import scale_size
 
 
 def _round_even(x: float) -> int:
-    """Round to a multiple of 2 (>= 32) — friendly to VGG's 5 pooling halvings."""
-    return max(32, int(round(x / 2.0)) * 2)
+    """Round to a multiple of 2 (>= 8) — friendly to VGG's pooling halvings.
+
+    The floor must stay small: it may only catch degenerate aspect ratios,
+    never distort a requested size.
+    """
+    return max(8, int(round(x / 2.0)) * 2)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -32,6 +32,9 @@ class ProgressEvent:
     # Lazily fetches the current image as float RGB (H, W, 3) in [0, 1].
     get_image: Callable[[], np.ndarray]
     done: bool = False  # last event of the whole run
+    # Lazily fetches the full resumable state (image, optimizer state leaves,
+    # schedule position) for checkpointing; None when unavailable.
+    get_state: Optional[Callable[[], dict]] = None
 
     @property
     def loss(self) -> float:

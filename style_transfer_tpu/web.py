@@ -1,0 +1,173 @@
+"""Live web progress monitor.
+
+The reference runs a small HTTP + websocket side-car that streams the
+in-progress image to a browser (SURVEY.md sections 2 row 13 / 3.4,
+reconstructed). Same UX here: an aiohttp server in a background thread with
+its own event loop; the optimize loop's progress callback hands it freshly
+encoded JPEG frames and JSON status lines, pushed to every connected
+websocket. The hot loop never blocks on the network — frames are published
+with ``call_soon_threadsafe`` and stale frames are simply replaced (drop, not
+queue; SURVEY.md section 3.4 "must never block the hot loop").
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import threading
+from typing import Optional, Set
+
+from aiohttp import web as aioweb
+
+from style_transfer_tpu.utils import imgio
+from style_transfer_tpu.utils.progress import ProgressEvent
+
+_PAGE = """<!DOCTYPE html>
+<html>
+<head>
+<title>style_transfer_tpu</title>
+<style>
+  body { background: #111; color: #ddd; font-family: monospace; margin: 2em; }
+  #status { margin-bottom: 1em; white-space: pre; }
+  img { max-width: 95vw; max-height: 85vh; image-rendering: auto;
+        border: 1px solid #333; }
+</style>
+</head>
+<body>
+<div id="status">connecting…</div>
+<img id="view" alt="in-progress stylization"/>
+<script>
+  const status = document.getElementById("status");
+  const view = document.getElementById("view");
+  function connect() {
+    const ws = new WebSocket(`ws://${location.host}/ws`);
+    ws.binaryType = "blob";
+    ws.onmessage = (ev) => {
+      if (typeof ev.data === "string") {
+        const s = JSON.parse(ev.data);
+        status.textContent =
+          `scale ${s.scale}/${s.num_scales}  ${s.width}x${s.height}  ` +
+          `iter ${s.iteration}/${s.total_iterations}  loss ${s.loss.toPrecision(6)}  ` +
+          `${s.its_per_sec.toFixed(1)} it/s` + (s.done ? "  — done" : "");
+      } else {
+        const url = URL.createObjectURL(ev.data);
+        view.onload = () => URL.revokeObjectURL(url);
+        view.src = url;
+      }
+    };
+    ws.onclose = () => { status.textContent += "  (disconnected)"; setTimeout(connect, 1000); };
+  }
+  connect();
+</script>
+</body>
+</html>"""
+
+
+class WebMonitor:
+    """Background-thread aiohttp server streaming progress to browsers."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 8080, jpeg_quality: int = 85):
+        self.host = host
+        self.port = port
+        self.jpeg_quality = jpeg_quality
+        self._loop: Optional[asyncio.AbstractEventLoop] = None
+        self._thread: Optional[threading.Thread] = None
+        self._started = threading.Event()
+        self._sockets: Set[aioweb.WebSocketResponse] = set()
+        self._frame: Optional[bytes] = None  # latest encoded JPEG
+        self._status: Optional[str] = None  # latest status JSON
+
+    # ------------------------------------------------------------ lifecycle
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self._run, name="web-monitor", daemon=True)
+        self._thread.start()
+        if not self._started.wait(timeout=10):
+            raise RuntimeError("web monitor failed to start within 10s")
+
+    def stop(self) -> None:
+        if self._loop is not None:
+            self._loop.call_soon_threadsafe(self._loop.stop)
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+    def _run(self) -> None:
+        loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(loop)
+        self._loop = loop
+
+        app = aioweb.Application()
+        app.router.add_get("/", self._index)
+        app.router.add_get("/ws", self._ws)
+        app.router.add_get("/image", self._image)
+        runner = aioweb.AppRunner(app)
+        loop.run_until_complete(runner.setup())
+        site = aioweb.TCPSite(runner, self.host, self.port)
+        loop.run_until_complete(site.start())
+        self._started.set()
+        try:
+            loop.run_forever()
+        finally:
+            loop.run_until_complete(runner.cleanup())
+            loop.close()
+
+    # ------------------------------------------------------------- handlers
+
+    async def _index(self, request) -> aioweb.Response:
+        return aioweb.Response(text=_PAGE, content_type="text/html")
+
+    async def _image(self, request) -> aioweb.Response:
+        if self._frame is None:
+            return aioweb.Response(status=404, text="no frame yet")
+        return aioweb.Response(body=self._frame, content_type="image/jpeg")
+
+    async def _ws(self, request) -> aioweb.WebSocketResponse:
+        ws = aioweb.WebSocketResponse()
+        await ws.prepare(request)
+        self._sockets.add(ws)
+        try:
+            # replay the latest state to a fresh client
+            if self._status is not None:
+                await ws.send_str(self._status)
+            if self._frame is not None:
+                await ws.send_bytes(self._frame)
+            async for _ in ws:
+                pass  # clients only listen
+        finally:
+            self._sockets.discard(ws)
+        return ws
+
+    async def _broadcast(self) -> None:
+        dead = []
+        for ws in list(self._sockets):
+            try:
+                if self._status is not None:
+                    await ws.send_str(self._status)
+                if self._frame is not None:
+                    await ws.send_bytes(self._frame)
+            except (ConnectionResetError, RuntimeError):
+                dead.append(ws)
+        for ws in dead:
+            self._sockets.discard(ws)
+
+    # ------------------------------------------------------------- callback
+
+    def callback(self, ev: ProgressEvent) -> None:
+        """Progress sink: encode the frame, publish, return immediately."""
+        self._frame = imgio.encode_image(ev.get_image(), "JPEG", quality=self.jpeg_quality)
+        h, w = ev.size
+        self._status = json.dumps(
+            {
+                "scale": ev.scale_index + 1,
+                "num_scales": ev.num_scales,
+                "width": w,
+                "height": h,
+                "iteration": ev.iteration,
+                "total_iterations": ev.total_iterations,
+                "loss": ev.loss,
+                "its_per_sec": ev.its_per_sec,
+                "done": ev.done,
+            }
+        )
+        if self._loop is not None:
+            asyncio.run_coroutine_threadsafe(self._broadcast(), self._loop)

@@ -42,7 +42,7 @@ def test_single_scale_adam_runs_and_descends(st, images):
     content, style = images
     events = []
     out = st.stylize(content, style, _small_cfg(), callback=events.append)
-    assert out.shape == (32, 32, 3)  # long side 32, aspect 48:40 -> rounded even
+    assert out.shape == (32, 28, 3)  # long side 32, aspect 48:40 -> rounded even
     assert np.isfinite(out).all()
     assert out.min() >= 0.0 and out.max() <= 1.0
     first = float(events[0].losses["loss"][0])
@@ -120,7 +120,7 @@ def test_init_image_override(st, images):
     r = np.random.RandomState(5)
     seed_img = r.rand(16, 16, 3).astype(np.float32)
     out = st.stylize(content, style, _small_cfg(iterations=(2,)), init_image=seed_img)
-    assert out.shape == (32, 32, 3)
+    assert out.shape == (32, 28, 3)
 
 
 def test_custom_layer_weights(st, images):

@@ -1,0 +1,89 @@
+"""CLI surface tests: flag parsing and tiny end-to-end runs through main()."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from style_transfer_tpu.cli import build_parser, main
+from style_transfer_tpu.utils import imgio
+
+
+@pytest.fixture()
+def images(tmp_path):
+    r = np.random.RandomState(0)
+    content = str(tmp_path / "content.png")
+    style = str(tmp_path / "style.png")
+    imgio.save_image(r.rand(40, 32, 3).astype(np.float32), content)
+    imgio.save_image(r.rand(32, 40, 3).astype(np.float32), style)
+    return content, style
+
+
+FAST = [
+    "--size", "32", "--min-scale", "32", "--iterations", "4", "--chunk-size", "2",
+    "--content-layers", "conv2_2", "--style-layers", "conv1_1", "conv2_1",
+    "--random-weights", "--unfused", "--devices", "0", "--print-every", "100",
+]
+
+
+def test_parser_defaults():
+    args = build_parser().parse_args(["c.png", "s.png"])
+    assert args.size == 512 and args.min_scale == 256
+    assert args.iterations == [500]
+    assert args.optimizer == "adam"
+    assert args.style_layers == ["conv1_1", "conv2_1", "conv3_1", "conv4_1", "conv5_1"]
+    assert args.content_layers == ["conv4_2"]
+    assert args.output == "out.png"
+
+
+def test_parser_multi_style():
+    args = build_parser().parse_args(
+        ["c.png", "s1.png", "s2.png", "--style-blend-weights", "0.7", "0.3"]
+    )
+    assert args.styles == ["s1.png", "s2.png"]
+    assert args.style_blend_weights == [0.7, 0.3]
+
+
+def test_cli_end_to_end(tmp_path, images):
+    content, style = images
+    out = str(tmp_path / "result.png")
+    metrics = str(tmp_path / "metrics.json")
+    rc = main([content, style, "-o", out, "--metrics-out", metrics] + FAST)
+    assert rc == 0
+    assert os.path.exists(out)
+    result = imgio.load_image(out)
+    assert result.shape == (32, 26, 3)  # 40x32 -> long side 32, even-rounded
+    with open(metrics) as f:
+        data = json.load(f)
+    assert data["records"] and "its_per_sec" in data["records"][0]
+
+
+def test_cli_requires_weights(tmp_path, images, capsys):
+    content, style = images
+    rc = main([content, style, "-o", str(tmp_path / "o.png"), "--size", "32"])
+    assert rc == 2
+    assert "weights" in capsys.readouterr().err
+
+
+def test_cli_init_from_image_path(tmp_path, images):
+    content, style = images
+    rc = main([content, style, "-o", str(tmp_path / "o.png"), "--init", style] + FAST)
+    assert rc == 0
+
+
+def test_cli_snapshots(tmp_path, images):
+    content, style = images
+    out = str(tmp_path / "snap.png")
+    rc = main([content, style, "-o", out, "--snapshot-every", "2"] + FAST)
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "snap_snapshot.png"))
+
+
+def test_cli_lbfgs_and_convergence_flags(tmp_path, images):
+    content, style = images
+    rc = main(
+        [content, style, "-o", str(tmp_path / "o.png"), "--optimizer", "lbfgs",
+         "--stop-tol", "1.0", "--stop-patience", "1"] + FAST
+    )
+    assert rc == 0

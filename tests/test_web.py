@@ -1,0 +1,79 @@
+"""Web monitor tests: page serves, frames publish, websocket streams."""
+
+import json
+import socket
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from style_transfer_tpu.utils.progress import ProgressEvent
+from style_transfer_tpu.web import WebMonitor
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _event(img, it=5):
+    return ProgressEvent(
+        scale_index=0,
+        num_scales=2,
+        size=img.shape[:2],
+        iteration=it,
+        total_iterations=10,
+        losses={"loss": np.asarray([1.0])},
+        its_per_sec=3.0,
+        get_image=lambda: img,
+    )
+
+
+@pytest.fixture()
+def monitor():
+    m = WebMonitor(port=_free_port())
+    m.start()
+    yield m
+    m.stop()
+
+
+def test_index_page(monitor):
+    with urllib.request.urlopen(f"http://127.0.0.1:{monitor.port}/") as r:
+        body = r.read().decode()
+    assert "WebSocket" in body and r.status == 200
+
+
+def test_image_endpoint_404_then_frame(monitor):
+    url = f"http://127.0.0.1:{monitor.port}/image"
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(url)
+    assert exc.value.code == 404
+
+    img = np.random.RandomState(0).rand(16, 16, 3).astype(np.float32)
+    monitor.callback(_event(img))
+    with urllib.request.urlopen(url) as r:
+        data = r.read()
+    assert data[:2] == b"\xff\xd8"  # JPEG
+
+
+def test_websocket_stream(monitor):
+    import asyncio
+
+    import websockets
+
+    img = np.random.RandomState(1).rand(8, 8, 3).astype(np.float32)
+    monitor.callback(_event(img, it=7))
+
+    async def client():
+        uri = f"ws://127.0.0.1:{monitor.port}/ws"
+        async with websockets.connect(uri) as ws:
+            first = await asyncio.wait_for(ws.recv(), timeout=5)
+            second = await asyncio.wait_for(ws.recv(), timeout=5)
+            return first, second
+
+    first, second = asyncio.new_event_loop().run_until_complete(client())
+    status = json.loads(first)
+    assert status["iteration"] == 7 and status["num_scales"] == 2
+    assert bytes(second)[:2] == b"\xff\xd8"
