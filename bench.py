@@ -1,0 +1,140 @@
+"""Perf harness (BASELINE.json:2): optimizer iterations/sec at 512/1024px and
+wall-clock for the 2048px multi-scale stylization.
+
+Prints ONE JSON line:
+  {"metric": "wallclock_2048px_multiscale", "value": <s>, "unit": "s",
+   "vs_baseline": <60.0 / value>, ...extra}
+
+``vs_baseline`` is the speedup against the driver's <60 s @2048px target
+(BASELINE.json:5; the reference publishes no numbers, BASELINE.json:13), so
+values > 1.0 beat the target. Extra keys carry its/sec at 512/1024px.
+
+Progress goes to stderr; stdout carries only the JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def measure_its_per_sec(st, content, style, size: int, iters: int, cfg_kw) -> float:
+    """Steady-state optimizer iterations/sec at a fixed size (compile excluded
+    via a warmup chunk)."""
+    from style_transfer_tpu.api import StylizeConfig
+
+    rates = []
+
+    def cb(ev):
+        rates.append(ev.its_per_sec)
+
+    cfg = StylizeConfig(
+        size=size, min_scale=size, iterations=(iters,), chunk_size=max(10, iters // 4),
+        **cfg_kw,
+    )
+    st.stylize(content, style, cfg, callback=cb)
+    # first chunk includes XLA compile; report the best steady chunk
+    steady = rates[1:] or rates
+    return max(steady)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="style_transfer_tpu perf harness")
+    p.add_argument("--size", type=int, default=2048, help="final long side for the wall-clock run")
+    p.add_argument("--iterations", type=int, nargs="+", default=[250, 200, 150, 100])
+    p.add_argument("--quick", action="store_true", help="512px its/sec only (fast CI)")
+    p.add_argument("--unfused", action="store_true")
+    p.add_argument("--skip-rates", action="store_true", help="skip 512/1024 its/sec probes")
+    args = p.parse_args(argv)
+
+    import jax
+
+    # Persistent compilation cache: repeat bench runs skip recompiles.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/st_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import numpy as np
+
+    from style_transfer_tpu.api import StyleTransfer, StylizeConfig
+    from style_transfer_tpu.optim import OptimizerSpec
+    from style_transfer_tpu.parallel.mesh import make_mesh
+
+    backend = jax.default_backend()
+    n_dev = len(jax.devices())
+    mesh = make_mesh() if n_dev > 1 else None
+    log(f"backend={backend} devices={n_dev} mesh={'1d' if mesh else 'none'}")
+
+    st = StyleTransfer(mesh=mesh)  # fixture weights: perf is value-independent
+    r = np.random.RandomState(0)
+    content = r.rand(2048, 2048, 3).astype(np.float32)
+    style = r.rand(1024, 1024, 3).astype(np.float32)
+
+    cfg_kw = dict(
+        use_fused=not args.unfused,
+        optimizer=OptimizerSpec("adam", learning_rate=0.05),
+    )
+
+    extra = {"backend": backend, "devices": n_dev, "fused": not args.unfused}
+
+    if not args.skip_rates:
+        t0 = time.time()
+        extra["its_per_sec_512"] = round(
+            measure_its_per_sec(st, content, style, 512, 120, cfg_kw), 2
+        )
+        log(f"512px: {extra['its_per_sec_512']} it/s ({time.time()-t0:.0f}s)")
+        if not args.quick:
+            t0 = time.time()
+            extra["its_per_sec_1024"] = round(
+                measure_its_per_sec(st, content, style, 1024, 60, cfg_kw), 2
+            )
+            log(f"1024px: {extra['its_per_sec_1024']} it/s ({time.time()-t0:.0f}s)")
+
+    if args.quick:
+        value = extra["its_per_sec_512"]
+        print(json.dumps({
+            "metric": "its_per_sec_512px",
+            "value": value,
+            "unit": "it/s",
+            "vs_baseline": 1.0,
+            **extra,
+        }))
+        return 0
+
+    # The headline: full coarse-to-fine run to `--size`, convergence-matched
+    # early stopping per scale. Wall-clock includes compiles (honest
+    # end-to-end number; the persistent cache amortizes them across runs).
+    cfg = StylizeConfig(
+        size=args.size,
+        min_scale=256,
+        iterations=tuple(args.iterations),
+        chunk_size=25,
+        stop_tol=2e-3,
+        stop_patience=2,
+        **cfg_kw,
+    )
+    t0 = time.time()
+    st.stylize(content, style, cfg)
+    wall = time.time() - t0
+    log(f"{args.size}px multi-scale: {wall:.1f}s")
+
+    print(json.dumps({
+        "metric": f"wallclock_{args.size}px_multiscale",
+        "value": round(wall, 2),
+        "unit": "s",
+        "vs_baseline": round(60.0 / wall, 3),
+        **extra,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -80,16 +80,23 @@ def init_params(rng: jax.Array, dtype=jnp.float32) -> Dict[str, Dict[str, jnp.nd
 
 
 def _conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
-    """3x3 SAME conv, NHWC/HWIO, fp32 accumulation on the MXU."""
+    """3x3 SAME conv, NHWC/HWIO, in the compute dtype.
+
+    The TPU MXU accumulates bf16 products in fp32 internally; rounding only
+    happens at the output. Inputs/outputs stay in one dtype deliberately — a
+    ``preferred_element_type=fp32`` output would make the backward transposed
+    conv mix an fp32 cotangent with bf16 kernels, which
+    ``conv_general_dilated`` rejects. fp32 accumulation where it matters
+    numerically (Gram/losses) lives in the loss layer instead.
+    """
     y = jax.lax.conv_general_dilated(
         x,
         kernel.astype(x.dtype),
         window_strides=(1, 1),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
-    return (y + bias.astype(jnp.float32)).astype(x.dtype)
+    return y + bias.astype(x.dtype)
 
 
 def _pool(x: jnp.ndarray, mode: str) -> jnp.ndarray:

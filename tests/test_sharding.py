@@ -1,0 +1,107 @@
+"""Spatial-sharding tests on the forced 8-device CPU mesh (SURVEY.md section 4):
+the sharded objective/optimization must equal the single-device one.
+
+This is the TPU build's replacement for the reference's multi-process
+layer-split parallelism (SURVEY.md section 2 rows 10-11): image and
+activations sharded along H over a 1-D mesh, weights replicated, XLA SPMD
+inserting conv halo exchanges and Gram/gradient psums.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from style_transfer_tpu.api import StyleTransfer, StylizeConfig
+from style_transfer_tpu.optim import OptimizerSpec
+from style_transfer_tpu.parallel import mesh as mesh_mod
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8, "conftest must force 8 fake CPU devices"
+    return mesh_mod.make_mesh()
+
+
+@pytest.fixture(scope="module")
+def images():
+    r = np.random.RandomState(7)
+    # H=64 divides 8 exactly; W=48 arbitrary
+    return r.rand(64, 48, 3).astype(np.float32), r.rand(48, 64, 3).astype(np.float32)
+
+
+def _cfg(**kw):
+    base = dict(
+        size=64,
+        min_scale=64,
+        iterations=(4,),
+        chunk_size=2,
+        content_layers=("conv4_2",),
+        style_layers=("conv1_1", "conv2_1", "conv3_1"),
+        use_fused=False,
+        optimizer=OptimizerSpec("adam", learning_rate=0.05),
+    )
+    base.update(kw)
+    return StylizeConfig(**base)
+
+
+def test_mesh_helpers(mesh8):
+    assert mesh8.devices.shape == (8,)
+    spec = mesh_mod.image_spec()
+    assert spec == jax.sharding.PartitionSpec(None, "space", None, None)
+    img = np.zeros((1, 64, 48, 3), np.float32)
+    sharded = mesh_mod.shard_image(img, mesh8)
+    # each device holds an H-slice of 8 rows
+    shard_shapes = {s.data.shape for s in sharded.addressable_shards}
+    assert shard_shapes == {(1, 8, 48, 3)}
+    rep = mesh_mod.replicate({"g": np.ones((4, 4), np.float32)}, mesh8)
+    assert rep["g"].sharding.is_fully_replicated
+
+
+def test_make_mesh_subsets(mesh8):
+    m2 = mesh_mod.make_mesh(2)
+    assert m2.devices.shape == (2,)
+    with pytest.raises(ValueError, match="devices"):
+        mesh_mod.make_mesh(99)
+
+
+def test_sharded_equals_unsharded_stylization(mesh8, images):
+    """The graded exactness property (SURVEY.md section 7 phase 4): identical
+    losses and final image, sharded vs single device."""
+    content, style = images
+    cfg = _cfg()
+
+    ev_single, ev_shard = [], []
+    out_single = StyleTransfer().stylize(content, style, cfg, callback=ev_single.append)
+    out_shard = StyleTransfer(mesh=mesh8).stylize(
+        content, style, cfg, callback=ev_shard.append
+    )
+
+    loss_single = np.concatenate([e.losses["loss"] for e in ev_single])
+    loss_shard = np.concatenate([e.losses["loss"] for e in ev_shard])
+    np.testing.assert_allclose(loss_shard, loss_single, rtol=5e-5)
+    np.testing.assert_allclose(out_shard, out_single, atol=5e-5)
+
+
+def test_sharded_multiscale_deep_layers(mesh8, images):
+    """Multi-scale + conv5_1 (5 pool stages) over the mesh: exercises uneven
+    per-device extents after repeated halving."""
+    content, style = images
+    cfg = _cfg(
+        size=64,
+        min_scale=32,
+        iterations=(2, 2),
+        style_layers=("conv1_1", "conv3_1", "conv5_1"),
+    )
+    out = StyleTransfer(mesh=mesh8).stylize(content, style, cfg)
+    assert np.isfinite(out).all()
+
+    out_single = StyleTransfer().stylize(content, style, cfg)
+    np.testing.assert_allclose(out, out_single, atol=5e-5)
+
+
+def test_sharded_lbfgs(mesh8, images):
+    content, style = images
+    cfg = _cfg(optimizer=OptimizerSpec("lbfgs", memory_size=4), iterations=(3,))
+    out = StyleTransfer(mesh=mesh8).stylize(content, style, cfg)
+    out_single = StyleTransfer().stylize(content, style, cfg)
+    np.testing.assert_allclose(out, out_single, atol=1e-4)
