@@ -98,8 +98,37 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def load_config_defaults(parser: argparse.ArgumentParser, path: str) -> None:
+    """Overlay a TOML table onto the parser defaults (CLI flags still win).
+
+    Keys use the flag names with ``-`` or ``_`` (``style-weight = 1e3``).
+    Unknown keys are an error — typos in configs must not pass silently.
+    """
+    import tomllib
+
+    with open(path, "rb") as f:
+        table = tomllib.load(f)
+    valid = {a.dest for a in parser._actions}
+    overlay = {}
+    for key, value in table.items():
+        dest = key.replace("-", "_")
+        if dest not in valid:
+            raise SystemExit(f"error: unknown config key {key!r} in {path}")
+        overlay[dest] = value
+    parser.set_defaults(**overlay)
+
+
 def main(argv: Optional[List[str]] = None) -> int:
-    args = build_parser().parse_args(argv)
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--config", default=None)
+    pre_args, rest = pre.parse_known_args(argv)
+
+    parser = build_parser()
+    parser.add_argument("--config", default=None,
+                        help="TOML file of flag defaults (CLI flags override)")
+    if pre_args.config:
+        load_config_defaults(parser, pre_args.config)
+    args = parser.parse_args(argv)
 
     # Pin the platform before any jax compute when the user forces CPU.
     import os

@@ -87,3 +87,41 @@ def test_cli_lbfgs_and_convergence_flags(tmp_path, images):
          "--stop-tol", "1.0", "--stop-patience", "1"] + FAST
     )
     assert rc == 0
+
+
+def test_config_toml_defaults_and_override(tmp_path, images):
+    content, style = images
+    cfgfile = tmp_path / "run.toml"
+    cfgfile.write_text(
+        'size = 32\nmin-scale = 32\niterations = [4]\nchunk-size = 2\n'
+        'content-layers = ["conv2_2"]\nstyle-layers = ["conv1_1"]\n'
+        'random-weights = true\nunfused = true\ndevices = 0\n'
+    )
+    out = str(tmp_path / "o.png")
+    rc = main([content, style, "-o", out, "--config", str(cfgfile)])
+    assert rc == 0 and os.path.exists(out)
+    # CLI flag overrides config value
+    rc = main([content, style, "-o", out, "--config", str(cfgfile), "--iterations", "2"])
+    assert rc == 0
+
+
+def test_config_toml_rejects_unknown_key(tmp_path, images):
+    content, style = images
+    cfgfile = tmp_path / "bad.toml"
+    cfgfile.write_text("sizee = 32\n")
+    with pytest.raises(SystemExit, match="unknown config key"):
+        main([content, style, "--config", str(cfgfile)])
+
+
+def test_shipped_configs_parse(images):
+    import glob
+
+    content, style = images
+    parser = build_parser()
+    parser.add_argument("--config", default=None)
+    from style_transfer_tpu.cli import load_config_defaults
+
+    files = glob.glob("configs/*.toml")
+    assert len(files) == 5
+    for f in files:
+        load_config_defaults(build_parser(), f)  # raises on any unknown key
