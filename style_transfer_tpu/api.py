@@ -112,12 +112,21 @@ class StyleTransfer:
 
     # ---------------------------------------------------------------- model
 
-    def _features(self, image: jnp.ndarray, layers: Sequence[str]) -> Dict[str, jnp.ndarray]:
-        """Preprocess + VGG forward on an NHWC [0,1] image."""
+    def _features(
+        self, params, image: jnp.ndarray, layers: Sequence[str]
+    ) -> Dict[str, jnp.ndarray]:
+        """Preprocess + VGG forward on an NHWC [0,1] image.
+
+        ``params`` is threaded as an explicit argument everywhere (never
+        closed over inside ``jit``): a closed-over pytree would be baked into
+        each compiled program as ~20 MB of embedded constants, bloating every
+        XLA compile, the persistent compilation cache, and the
+        executable-load path.
+        """
         x = imgio.preprocess(image, self.mean, self.std)
         x = mesh_mod.constrain_spatial(x, self.mesh)
         return vgg_mod.extract_features(
-            self.params, x, layers, pooling=self.pooling, compute_dtype=self.compute_dtype
+            params, x, layers, pooling=self.pooling, compute_dtype=self.compute_dtype
         )
 
     def _gram_fn(self, cfg: StylizeConfig):
@@ -167,18 +176,18 @@ class StyleTransfer:
         # ---- jitted building blocks (shared across scales; retrace per shape)
 
         @jax.jit
-        def capture_content(content_img):
-            feats = self._features(content_img, tuple(cfg.content_layers))
+        def capture_content(params, content_img):
+            feats = self._features(params, content_img, tuple(cfg.content_layers))
             return {k: v for k, v in feats.items()}
 
         @jax.jit
-        def capture_style(style_img):
-            feats = self._features(style_img, tuple(cfg.style_layers))
+        def capture_style(params, style_img):
+            feats = self._features(params, style_img, tuple(cfg.style_layers))
             return {k: gram_fn(v) for k, v in feats.items()}
 
-        def objective(image, c_targets, s_targets):
+        def objective(params, image, c_targets, s_targets):
             image = mesh_mod.constrain_spatial(image, self.mesh)
-            feats = self._features(image, all_layers)
+            feats = self._features(params, image, all_layers)
             return_terms = L.objective_terms(
                 feats,
                 content_targets=c_targets,
@@ -200,9 +209,9 @@ class StyleTransfer:
             return cfg.optimizer.build().init(image)
 
         @partial(jax.jit, static_argnames="n", donate_argnames=("image", "opt_state"))
-        def run_chunk(image, opt_state, c_targets, s_targets, *, n):
+        def run_chunk(params, image, opt_state, c_targets, s_targets, *, n):
             step, _ = make_step_fn(
-                lambda im: objective(im, c_targets, s_targets), cfg.optimizer
+                lambda im: objective(params, im, c_targets, s_targets), cfg.optimizer
             )
 
             def body(carry, _):
@@ -249,14 +258,14 @@ class StyleTransfer:
                 continue
             h, w = scale.size
             content_s = upsample(content_t, size=(h, w))
-            c_targets = capture_content(content_s)
+            c_targets = capture_content(self.params, content_s)
 
             style_long = max(32, int(round(max(h, w) * cfg.style_scale)))
             gram_list: Dict[str, list] = {l: [] for l in cfg.style_layers}
             for st in style_ts:
                 sh, sw = imgio.scale_size(st.shape[1:3], style_long)
                 st_s = upsample(st, size=(sh - sh % 2, sw - sw % 2))
-                grams = capture_style(st_s)
+                grams = capture_style(self.params, st_s)
                 for l in cfg.style_layers:
                     gram_list[l].append(grams[l])
             s_targets = {l: L.blend_grams(gs, blend) for l, gs in gram_list.items()}
@@ -289,7 +298,7 @@ class StyleTransfer:
                 n = min(cfg.chunk_size, scale.iterations - done_iters)
                 t0 = time.perf_counter()
                 image, opt_state, loss_seq = run_chunk(
-                    image, opt_state, c_targets, s_targets, n=n
+                    self.params, image, opt_state, c_targets, s_targets, n=n
                 )
                 losses = {k: np.asarray(v) for k, v in jax.device_get(loss_seq).items()}
                 dt = time.perf_counter() - t0
