@@ -126,7 +126,12 @@ class StyleTransfer:
         x = imgio.preprocess(image, self.mean, self.std)
         x = mesh_mod.constrain_spatial(x, self.mesh)
         return vgg_mod.extract_features(
-            params, x, layers, pooling=self.pooling, compute_dtype=self.compute_dtype
+            params,
+            x,
+            layers,
+            pooling=self.pooling,
+            compute_dtype=self.compute_dtype,
+            shard_divisor=self.mesh.devices.size if self.mesh is not None else None,
         )
 
     def _gram_fn(self, cfg: StylizeConfig):

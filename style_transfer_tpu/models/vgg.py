@@ -99,29 +99,52 @@ def _conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray
     return y + bias.astype(x.dtype)
 
 
-def _pool(x: jnp.ndarray, mode: str) -> jnp.ndarray:
-    """2x2 stride-2 pooling as slice-and-combine (SAME edge semantics).
+def _pool(x: jnp.ndarray, mode: str, shard_divisor: Optional[int] = None) -> jnp.ndarray:
+    """2x2 stride-2 pooling (SAME edge semantics), TPU- and SPMD-aware.
 
-    Written without ``lax.reduce_window`` deliberately: the generic
-    reduce_window fails reverse-mode AD inside ``lax.scan`` (JAX 0.9.0), and
-    slicing + elementwise ops fuse into the surrounding convs anyway. Odd
-    edges are handled by replicating the last row/column, which for a 2x2
-    window reproduces exclude-padding averaging exactly (duplicated values
-    average/max to themselves).
+    Two mathematically identical implementations, chosen per call:
+
+    - **reshape-and-reduce** (default): reverse-mode is a broadcast that
+      fuses into neighbouring ops. Strided-slice gradients instead lower to
+      interior-pad scatters that TPU executes ~4x slower, and max-of-slices
+      gradients to select chains ~30x slower (measured at 1024x1024x64 on
+      v5e), so this is the fast path.
+    - **slice-and-combine**: used when the image height axis is sharded over
+      ``shard_divisor`` devices and the pooled height would stop being
+      divisible by it. XLA's SPMD partitioner miscompiles the *backward* of
+      conv + reshape-pool chains once per-shard extents drop below one
+      window (observed: gradients off by >1e2 at depth 5 on a forced
+      8-device mesh, while slice pooling stays bit-exact), so tiny deep
+      layers take the exact path; they contribute negligible time.
+
+    Written without ``lax.reduce_window``, which fails reverse-mode AD
+    inside ``lax.scan`` (JAX 0.9.0). Odd edges are handled by replicating
+    the last row/column, which for a 2x2 window reproduces exclude-padding
+    averaging exactly (duplicated values average/max to themselves).
     """
-    _, h, w, _ = x.shape
+    n, h, w, c = x.shape
     if h % 2:
         x = jnp.concatenate([x, x[:, -1:]], axis=1)
+        h += 1
     if w % 2:
         x = jnp.concatenate([x, x[:, :, -1:]], axis=2)
-    a = x[:, 0::2, 0::2]
-    b = x[:, 1::2, 0::2]
-    c = x[:, 0::2, 1::2]
-    d = x[:, 1::2, 1::2]
-    if mode == "average":
-        return (a + b + c + d) * jnp.asarray(0.25, x.dtype)
-    if mode == "max":
-        return jnp.maximum(jnp.maximum(a, b), jnp.maximum(c, d))
+        w += 1
+    reshape_safe = shard_divisor is None or (h // 2) % shard_divisor == 0
+    if reshape_safe:
+        x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+        if mode == "average":
+            return jnp.mean(x, axis=(2, 4), dtype=x.dtype)
+        if mode == "max":
+            return jnp.max(x, axis=(2, 4))
+    else:
+        a = x[:, 0::2, 0::2]
+        b = x[:, 1::2, 0::2]
+        cc = x[:, 0::2, 1::2]
+        d = x[:, 1::2, 1::2]
+        if mode == "average":
+            return (a + b + cc + d) * jnp.asarray(0.25, x.dtype)
+        if mode == "max":
+            return jnp.maximum(jnp.maximum(a, b), jnp.maximum(cc, d))
     raise ValueError(f"unknown pooling mode {mode!r}")
 
 
@@ -142,12 +165,15 @@ def extract_features(
     *,
     pooling: str = "average",
     compute_dtype: Optional[jnp.dtype] = None,
+    shard_divisor: Optional[int] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Run VGG-19 on preprocessed NHWC input, returning requested activations.
 
     Truncates the forward at the deepest requested layer. Activations are
     returned in ``compute_dtype`` (callers' losses upcast where fp32
-    accumulation matters).
+    accumulation matters). Pass ``shard_divisor`` = mesh size when the H
+    axis is sharded so pooling picks its SPMD-exact path for tiny extents
+    (see :func:`_pool`).
     """
     if not layers:
         raise ValueError("no layers requested")
@@ -167,7 +193,7 @@ def extract_features(
             if name == stop:
                 return feats
         name = f"pool{b}"
-        x = _pool(x, pooling)
+        x = _pool(x, pooling, shard_divisor)
         if name in wanted:
             feats[name] = x
         if name == stop:
