@@ -72,6 +72,13 @@ class StylizeConfig:
 
     use_fused: bool = True  # Pallas Gram kernels (False = plain-XLA oracle path)
 
+    # Background-compile later scales' programs (worker threads) while the
+    # current scale optimizes; hand-over happens through the persistent
+    # compilation cache. Cuts multi-scale cold-start wall-clock roughly by
+    # the number of scales. Ignored under a mesh (aval shardings would have
+    # to be replicated here; multi-chip runs are long enough not to care).
+    warm_compile: bool = True
+
     def end_size(self, content_hw: Tuple[int, int]) -> Tuple[int, int]:
         if isinstance(self.size, int):
             return imgio.scale_size(content_hw, self.size)
@@ -245,107 +252,175 @@ class StyleTransfer:
         key = jax.random.PRNGKey(cfg.seed)
         image: Optional[jnp.ndarray] = None
 
-        # --resume: skip completed scales, restore image + optimizer state
-        # (SURVEY.md section 5, checkpoint/resume).
-        resume_scale = resume_iters = -1
-        resume_opt_leaves = None
-        if resume_state is not None:
-            resume_scale = int(resume_state["scale_index"])
-            resume_iters = int(resume_state["iteration"])
-            resume_opt_leaves = list(resume_state["opt_state_leaves"])
-            if resume_scale >= len(plan):
-                raise ValueError(
-                    f"checkpoint at scale {resume_scale} but plan has {len(plan)} scales"
+        # ---- pipeline XLA compiles: scale k+1..N compile while scale k runs.
+        # Worker threads lower+compile each later scale's programs; the
+        # persistent compilation cache (enabled below) hands the results to
+        # the main loop's jit calls, which then deserialize instead of
+        # recompiling. Best-effort: any warming failure leaves the normal
+        # compile path untouched.
+        warm_pool = None
+        if cfg.warm_compile and self.mesh is None and len(plan) > 1:
+            _ensure_compile_cache()
+            import concurrent.futures
+
+            params_aval = jax.tree_util.tree_map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), self.params
+            )
+            content_full_aval = jax.ShapeDtypeStruct(content_t.shape, jnp.float32)
+            style_full_avals = [
+                jax.ShapeDtypeStruct(st.shape, jnp.float32) for st in style_ts
+            ]
+
+            def _warm_scale(scale, prev_size):
+                h, w = scale.size
+                img_aval = jax.ShapeDtypeStruct((1, h, w, 3), jnp.float32)
+                upsample.lower(content_full_aval, size=(h, w)).compile()
+                if prev_size is not None:
+                    prev_aval = jax.ShapeDtypeStruct((1, *prev_size, 3), jnp.float32)
+                    upsample.lower(prev_aval, size=(h, w)).compile()
+                capture_content.lower(params_aval, img_aval).compile()
+                style_long = max(32, int(round(max(h, w) * cfg.style_scale)))
+                seen = set()
+                for st_aval in style_full_avals:
+                    sh, sw = imgio.scale_size(st_aval.shape[1:3], style_long)
+                    ssize = (sh - sh % 2, sw - sw % 2)
+                    if ssize in seen:
+                        continue
+                    seen.add(ssize)
+                    upsample.lower(st_aval, size=ssize).compile()
+                    s_aval = jax.ShapeDtypeStruct((1, *ssize, 3), jnp.float32)
+                    capture_style.lower(params_aval, s_aval).compile()
+                c_t_aval = jax.eval_shape(capture_content, params_aval, img_aval)
+                g_aval = jax.eval_shape(
+                    capture_style,
+                    params_aval,
+                    jax.ShapeDtypeStruct((1, *min(seen), 3), jnp.float32),
                 )
+                s_t_aval = {
+                    l: jax.ShapeDtypeStruct(g.shape, jnp.float32)
+                    for l, g in g_aval.items()
+                }
+                opt_aval = jax.eval_shape(init_opt_state, img_aval)
+                ns = {min(cfg.chunk_size, scale.iterations)}
+                rem = scale.iterations % cfg.chunk_size
+                if 0 < rem < min(cfg.chunk_size, scale.iterations):
+                    ns.add(rem)
+                for n in sorted(ns):
+                    run_chunk.lower(
+                        params_aval, img_aval, opt_aval, c_t_aval, s_t_aval, n=n
+                    ).compile()
 
-        for scale in plan:
-            if scale.index < resume_scale:
-                continue
-            h, w = scale.size
-            content_s = upsample(content_t, size=(h, w))
-            c_targets = capture_content(self.params, content_s)
+            warm_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=min(4, len(plan) - 1), thread_name_prefix="st-warmc"
+            )
+            for i, scale in enumerate(plan[1:], start=1):
+                warm_pool.submit(_safe_warm, _warm_scale, scale, plan[i - 1].size)
 
-            style_long = max(32, int(round(max(h, w) * cfg.style_scale)))
-            gram_list: Dict[str, list] = {l: [] for l in cfg.style_layers}
-            for st in style_ts:
-                sh, sw = imgio.scale_size(st.shape[1:3], style_long)
-                st_s = upsample(st, size=(sh - sh % 2, sw - sw % 2))
-                grams = capture_style(self.params, st_s)
-                for l in cfg.style_layers:
-                    gram_list[l].append(grams[l])
-            s_targets = {l: L.blend_grams(gs, blend) for l, gs in gram_list.items()}
-            s_targets = mesh_mod.replicate(s_targets, self.mesh)
-
-            if scale.index == resume_scale:
-                image = mesh_mod.shard_image(
-                    jnp.asarray(resume_state["image"], jnp.float32), self.mesh
-                )
-                if image.shape != (1, h, w, 3):
+        try:
+            # --resume: skip completed scales, restore image + optimizer state
+            # (SURVEY.md section 5, checkpoint/resume).
+            resume_scale = resume_iters = -1
+            resume_opt_leaves = None
+            if resume_state is not None:
+                resume_scale = int(resume_state["scale_index"])
+                resume_iters = int(resume_state["iteration"])
+                resume_opt_leaves = list(resume_state["opt_state_leaves"])
+                if resume_scale >= len(plan):
                     raise ValueError(
-                        f"checkpoint image shape {image.shape} does not match "
-                        f"scale {scale.index} shape (1, {h}, {w}, 3)"
+                        f"checkpoint at scale {resume_scale} but plan has {len(plan)} scales"
                     )
-                opt_state = restore_opt_state(init_opt_state(image), resume_opt_leaves)
-                done_iters = min(resume_iters, scale.iterations)
-            else:
-                if image is None:
-                    image = self._init_image(cfg, content_s, init_image, key, (h, w))
-                else:
-                    image = upsample(image, size=(h, w))
-                image = mesh_mod.shard_image(image, self.mesh)
-                opt_state = init_opt_state(image)
-                done_iters = 0
 
-            # ---- per-scale chunked optimize loop
-            prev_mean = None
-            stall = 0
-            while done_iters < scale.iterations:
-                n = min(cfg.chunk_size, scale.iterations - done_iters)
-                t0 = time.perf_counter()
-                image, opt_state, loss_seq = run_chunk(
-                    self.params, image, opt_state, c_targets, s_targets, n=n
-                )
-                losses = {k: np.asarray(v) for k, v in jax.device_get(loss_seq).items()}
-                dt = time.perf_counter() - t0
-                done_iters += n
+            for scale in plan:
+                if scale.index < resume_scale:
+                    continue
+                h, w = scale.size
+                content_s = upsample(content_t, size=(h, w))
+                c_targets = capture_content(self.params, content_s)
 
-                if callback is not None:
-                    img_ref, opt_ref = image, opt_state
-                    it_ref, sc_ref = done_iters, scale.index
-                    is_last = scale.index == plan[-1].index and done_iters >= scale.iterations
-                    callback(
-                        ProgressEvent(
-                            scale_index=scale.index,
-                            num_scales=len(plan),
-                            size=(h, w),
-                            iteration=done_iters,
-                            total_iterations=scale.iterations,
-                            losses=losses,
-                            its_per_sec=n / dt if dt > 0 else float("inf"),
-                            get_image=lambda img=img_ref: np.asarray(
-                                jnp.clip(jax.device_get(img)[0], 0.0, 1.0)
-                            ),
-                            done=is_last,
-                            get_state=lambda img=img_ref, opt=opt_ref, it=it_ref, sc=sc_ref: {
-                                "image": np.asarray(jax.device_get(img)),
-                                "opt_state_leaves": flatten_opt_state(opt),
-                                "scale_index": np.asarray(sc),
-                                "iteration": np.asarray(it),
-                            },
+                style_long = max(32, int(round(max(h, w) * cfg.style_scale)))
+                gram_list: Dict[str, list] = {l: [] for l in cfg.style_layers}
+                for st in style_ts:
+                    sh, sw = imgio.scale_size(st.shape[1:3], style_long)
+                    st_s = upsample(st, size=(sh - sh % 2, sw - sw % 2))
+                    grams = capture_style(self.params, st_s)
+                    for l in cfg.style_layers:
+                        gram_list[l].append(grams[l])
+                s_targets = {l: L.blend_grams(gs, blend) for l, gs in gram_list.items()}
+                s_targets = mesh_mod.replicate(s_targets, self.mesh)
+
+                if scale.index == resume_scale:
+                    image = mesh_mod.shard_image(
+                        jnp.asarray(resume_state["image"], jnp.float32), self.mesh
+                    )
+                    if image.shape != (1, h, w, 3):
+                        raise ValueError(
+                            f"checkpoint image shape {image.shape} does not match "
+                            f"scale {scale.index} shape (1, {h}, {w}, 3)"
                         )
+                    opt_state = restore_opt_state(init_opt_state(image), resume_opt_leaves)
+                    done_iters = min(resume_iters, scale.iterations)
+                else:
+                    if image is None:
+                        image = self._init_image(cfg, content_s, init_image, key, (h, w))
+                    else:
+                        image = upsample(image, size=(h, w))
+                    image = mesh_mod.shard_image(image, self.mesh)
+                    opt_state = init_opt_state(image)
+                    done_iters = 0
+
+                # ---- per-scale chunked optimize loop
+                prev_mean = None
+                stall = 0
+                while done_iters < scale.iterations:
+                    n = min(cfg.chunk_size, scale.iterations - done_iters)
+                    t0 = time.perf_counter()
+                    image, opt_state, loss_seq = run_chunk(
+                        self.params, image, opt_state, c_targets, s_targets, n=n
                     )
+                    losses = {k: np.asarray(v) for k, v in jax.device_get(loss_seq).items()}
+                    dt = time.perf_counter() - t0
+                    done_iters += n
 
-                if cfg.stop_tol > 0:
-                    mean_loss = float(np.mean(losses["loss"]))
-                    if prev_mean is not None:
-                        rel = abs(prev_mean - mean_loss) / max(abs(prev_mean), 1e-12)
-                        stall = stall + 1 if rel < cfg.stop_tol else 0
-                        if stall >= cfg.stop_patience:
-                            break
-                    prev_mean = mean_loss
+                    if callback is not None:
+                        img_ref, opt_ref = image, opt_state
+                        it_ref, sc_ref = done_iters, scale.index
+                        is_last = scale.index == plan[-1].index and done_iters >= scale.iterations
+                        callback(
+                            ProgressEvent(
+                                scale_index=scale.index,
+                                num_scales=len(plan),
+                                size=(h, w),
+                                iteration=done_iters,
+                                total_iterations=scale.iterations,
+                                losses=losses,
+                                its_per_sec=n / dt if dt > 0 else float("inf"),
+                                get_image=lambda img=img_ref: np.asarray(
+                                    jnp.clip(jax.device_get(img)[0], 0.0, 1.0)
+                                ),
+                                done=is_last,
+                                get_state=lambda img=img_ref, opt=opt_ref, it=it_ref, sc=sc_ref: {
+                                    "image": np.asarray(jax.device_get(img)),
+                                    "opt_state_leaves": flatten_opt_state(opt),
+                                    "scale_index": np.asarray(sc),
+                                    "iteration": np.asarray(it),
+                                },
+                            )
+                        )
 
-        final = np.asarray(jax.device_get(image))[0]
-        return np.clip(final, 0.0, 1.0)
+                    if cfg.stop_tol > 0:
+                        mean_loss = float(np.mean(losses["loss"]))
+                        if prev_mean is not None:
+                            rel = abs(prev_mean - mean_loss) / max(abs(prev_mean), 1e-12)
+                            stall = stall + 1 if rel < cfg.stop_tol else 0
+                            if stall >= cfg.stop_patience:
+                                break
+                        prev_mean = mean_loss
+
+            final = np.asarray(jax.device_get(image))[0]
+            return np.clip(final, 0.0, 1.0)
+        finally:
+            if warm_pool is not None:
+                warm_pool.shutdown(wait=False, cancel_futures=True)
 
     # ---------------------------------------------------------------- misc
 
@@ -362,3 +437,29 @@ class StyleTransfer:
         if cfg.init == "mean":
             return jnp.full((1, h, w, 3), 0.5, jnp.float32)
         raise ValueError(f"unknown init mode {cfg.init!r}")
+def _ensure_compile_cache() -> None:
+    """Enable the persistent XLA compilation cache if the user hasn't.
+
+    The cache both de-duplicates compiles across processes (bench reruns,
+    CLI invocations) and is the hand-over channel for the background
+    compile pipeline in :meth:`StyleTransfer.stylize`.
+    """
+    import os
+    import tempfile
+
+    try:
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.join(tempfile.gettempdir(), "style_transfer_tpu-xla-cache"),
+            )
+    except Exception:
+        pass
+
+
+def _safe_warm(fn, *args) -> None:
+    """Run a warm-compile task, swallowing errors (warming is best-effort)."""
+    try:
+        fn(*args)
+    except Exception:
+        pass
