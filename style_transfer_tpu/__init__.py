@@ -21,6 +21,6 @@ See SURVEY.md for the structural analysis of the reference this build targets.
 __version__ = "0.1.0"
 
 from style_transfer_tpu.api import StyleTransfer, StylizeConfig  # noqa: F401
-from style_transfer_tpu.models.vgg import VGG19, LAYER_NAMES  # noqa: F401
+from style_transfer_tpu.models.vgg import VGG, VGG19, LAYER_NAMES  # noqa: F401
 
-__all__ = ["StyleTransfer", "StylizeConfig", "VGG19", "LAYER_NAMES", "__version__"]
+__all__ = ["StyleTransfer", "StylizeConfig", "VGG", "VGG19", "LAYER_NAMES", "__version__"]

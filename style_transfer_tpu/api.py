@@ -115,6 +115,7 @@ class StyleTransfer:
             compute_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
         self.compute_dtype = compute_dtype
         self.mesh = mesh
+        self.arch = vgg_mod.infer_arch(params)
         self.params = mesh_mod.replicate(params, mesh)
 
     # ---------------------------------------------------------------- model
@@ -139,6 +140,7 @@ class StyleTransfer:
             pooling=self.pooling,
             compute_dtype=self.compute_dtype,
             shard_divisor=self.mesh.devices.size if self.mesh is not None else None,
+            arch=self.arch,
         )
 
     def _gram_fn(self, cfg: StylizeConfig):

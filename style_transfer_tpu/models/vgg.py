@@ -27,56 +27,97 @@ from typing import Dict, Iterable, Mapping, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-# (block, convs-in-block, channels): VGG-19 = 2,2,4,4,4 convs of 64..512.
-_BLOCKS = ((1, 2, 64), (2, 2, 128), (3, 4, 256), (4, 4, 512), (5, 4, 512))
-
-CONV_NAMES: tuple = tuple(
-    f"conv{b}_{i}" for b, n, _ in _BLOCKS for i in range(1, n + 1)
-)
-POOL_NAMES: tuple = tuple(f"pool{b}" for b, _, _ in _BLOCKS)
-#: All capturable activation names, in forward order.
-LAYER_NAMES: tuple = tuple(
-    name
-    for b, n, _ in _BLOCKS
-    for name in [f"conv{b}_{i}" for i in range(1, n + 1)] + [f"pool{b}"]
-)
-
-#: channel count of each conv layer's output.
-LAYER_CHANNELS: Dict[str, int] = {}
-for _b, _n, _c in _BLOCKS:
-    for _i in range(1, _n + 1):
-        LAYER_CHANNELS[f"conv{_b}_{_i}"] = _c
-    LAYER_CHANNELS[f"pool{_b}"] = _c
+# Model family: convs-per-block for each supported VGG variant. Widths are
+# shared (64..512). The reference family runs VGG-19; VGG-16 is the same
+# construction with 3-conv deep blocks and loads from the same .npz schema.
+ARCH_BLOCKS: Dict[str, tuple] = {
+    "vgg19": (2, 2, 4, 4, 4),
+    "vgg16": (2, 2, 3, 3, 3),
+}
+_WIDTHS = (64, 128, 256, 512, 512)
+DEFAULT_ARCH = "vgg19"
 
 
-def conv_in_channels(name: str) -> int:
+def blocks(arch: str = DEFAULT_ARCH) -> tuple:
+    """((block_index, convs_in_block, channels), ...) for an architecture."""
+    try:
+        nconvs = ARCH_BLOCKS[arch]
+    except KeyError:
+        raise ValueError(f"unknown arch {arch!r}; supported: {sorted(ARCH_BLOCKS)}")
+    return tuple((b + 1, n, _WIDTHS[b]) for b, n in enumerate(nconvs))
+
+
+def conv_names(arch: str = DEFAULT_ARCH) -> tuple:
+    return tuple(f"conv{b}_{i}" for b, n, _ in blocks(arch) for i in range(1, n + 1))
+
+
+def layer_names(arch: str = DEFAULT_ARCH) -> tuple:
+    """All capturable activation names, in forward order."""
+    return tuple(
+        name
+        for b, n, _ in blocks(arch)
+        for name in [f"conv{b}_{i}" for i in range(1, n + 1)] + [f"pool{b}"]
+    )
+
+
+def layer_channels(arch: str = DEFAULT_ARCH) -> Dict[str, int]:
+    """Output channel count of every capturable layer."""
+    out: Dict[str, int] = {}
+    for b, n, c in blocks(arch):
+        for i in range(1, n + 1):
+            out[f"conv{b}_{i}"] = c
+        out[f"pool{b}"] = c
+    return out
+
+
+# VGG-19 module-level constants (the default family, used by most callers).
+CONV_NAMES: tuple = conv_names()
+POOL_NAMES: tuple = tuple(f"pool{b}" for b, _, _ in blocks())
+LAYER_NAMES: tuple = layer_names()
+LAYER_CHANNELS: Dict[str, int] = layer_channels()
+
+
+def conv_in_channels(name: str, arch: str = DEFAULT_ARCH) -> int:
     """Input channel count of a conv layer."""
-    idx = CONV_NAMES.index(name)
+    names = conv_names(arch)
+    channels = layer_channels(arch)
+    idx = names.index(name)
     if idx == 0:
         return 3
-    prev = CONV_NAMES[idx - 1]
-    # first conv of a block reads the previous block's width
-    if name.endswith("_1"):
-        return LAYER_CHANNELS[prev]
-    return LAYER_CHANNELS[prev]
+    return channels[names[idx - 1]]
 
 
-def init_params(rng: jax.Array, dtype=jnp.float32) -> Dict[str, Dict[str, jnp.ndarray]]:
-    """He-normal random VGG-19 parameters (the test/bench fixture path).
+def init_params(
+    rng: jax.Array, dtype=jnp.float32, arch: str = DEFAULT_ARCH
+) -> Dict[str, Dict[str, jnp.ndarray]]:
+    """He-normal random VGG parameters (the test/bench fixture path).
 
     Real runs load converted pretrained weights via
     :mod:`style_transfer_tpu.models.weights`; random weights exercise the
     identical compute path (SURVEY.md section 4: fixture weights for tests, no
     pretrained weights available offline).
     """
+    channels = layer_channels(arch)
     params = {}
-    for name in CONV_NAMES:
-        cin, cout = conv_in_channels(name), LAYER_CHANNELS[name]
+    for name in conv_names(arch):
+        cin, cout = conv_in_channels(name, arch), channels[name]
         rng, sub = jax.random.split(rng)
         fan_in = 3 * 3 * cin
         kernel = jax.random.normal(sub, (3, 3, cin, cout), dtype) * jnp.sqrt(2.0 / fan_in)
         params[name] = {"kernel": kernel, "bias": jnp.zeros((cout,), dtype)}
     return params
+
+
+def infer_arch(params: Mapping[str, object]) -> str:
+    """Which supported architecture a parameter pytree belongs to."""
+    keys = set(params.keys())
+    for arch in ARCH_BLOCKS:
+        if keys == set(conv_names(arch)):
+            return arch
+    raise ValueError(
+        f"parameter keys match no supported arch {sorted(ARCH_BLOCKS)}: "
+        f"{sorted(keys)[:6]}..."
+    )
 
 
 def _conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
@@ -148,13 +189,14 @@ def _pool(x: jnp.ndarray, mode: str, shard_divisor: Optional[int] = None) -> jnp
     raise ValueError(f"unknown pooling mode {mode!r}")
 
 
-def deepest_layer(layers: Iterable[str]) -> str:
+def deepest_layer(layers: Iterable[str], arch: str = DEFAULT_ARCH) -> str:
     """The forward-order-latest of ``layers``."""
-    order = {n: i for i, n in enumerate(LAYER_NAMES)}
+    names = layer_names(arch)
+    order = {n: i for i, n in enumerate(names)}
     layers = list(layers)
     for name in layers:
         if name not in order:
-            raise ValueError(f"unknown VGG-19 layer {name!r}; valid: {LAYER_NAMES}")
+            raise ValueError(f"unknown {arch} layer {name!r}; valid: {names}")
     return max(layers, key=order.__getitem__)
 
 
@@ -166,8 +208,10 @@ def extract_features(
     pooling: str = "average",
     compute_dtype: Optional[jnp.dtype] = None,
     shard_divisor: Optional[int] = None,
+    arch: str = DEFAULT_ARCH,
 ) -> Dict[str, jnp.ndarray]:
-    """Run VGG-19 on preprocessed NHWC input, returning requested activations.
+    """Run a VGG variant on preprocessed NHWC input, returning requested
+    activations.
 
     Truncates the forward at the deepest requested layer. Activations are
     returned in ``compute_dtype`` (callers' losses upcast where fp32
@@ -178,12 +222,12 @@ def extract_features(
     if not layers:
         raise ValueError("no layers requested")
     wanted = set(layers)
-    stop = deepest_layer(layers)
+    stop = deepest_layer(layers, arch)
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
 
     feats: Dict[str, jnp.ndarray] = {}
-    for b, n, _ in _BLOCKS:
+    for b, n, _ in blocks(arch):
         for i in range(1, n + 1):
             name = f"conv{b}_{i}"
             p = params[name]
@@ -201,27 +245,37 @@ def extract_features(
     return feats
 
 
-class VGG19:
+class VGG:
     """Thin convenience wrapper binding params + pooling + compute dtype.
 
     The functional core is :func:`extract_features`; this object only carries
     configuration (it contains no traced state and is safe to close over in
-    jitted functions).
+    jitted functions). The architecture is inferred from the parameter keys.
     """
 
     def __init__(self, params, *, pooling: str = "average", compute_dtype=None):
         self.params = params
+        self.arch = infer_arch(params)
         self.pooling = pooling
         self.compute_dtype = compute_dtype
 
     def __call__(self, x: jnp.ndarray, layers: Sequence[str]) -> Dict[str, jnp.ndarray]:
         return extract_features(
-            self.params, x, layers, pooling=self.pooling, compute_dtype=self.compute_dtype
+            self.params,
+            x,
+            layers,
+            pooling=self.pooling,
+            compute_dtype=self.compute_dtype,
+            arch=self.arch,
         )
 
     @classmethod
-    def random(cls, seed: int = 0, **kw) -> "VGG19":
-        return cls(init_params(jax.random.PRNGKey(seed)), **kw)
+    def random(cls, seed: int = 0, arch: str = DEFAULT_ARCH, **kw) -> "VGG":
+        return cls(init_params(jax.random.PRNGKey(seed), arch=arch), **kw)
+
+
+#: Backwards-compatible alias (the default family).
+VGG19 = VGG
 
 
 # Classic Gatys selections (the defaults the reference family uses,

@@ -33,7 +33,14 @@ from style_transfer_tpu.utils.imgio import IMAGENET_MEAN, IMAGENET_STD
 Params = Dict[str, Dict[str, jnp.ndarray]]
 
 
-def save_npz(path: str, params: Params, mean=IMAGENET_MEAN, std=IMAGENET_STD, bgr: bool = False) -> None:
+def save_npz(
+    path: str,
+    params: Params,
+    mean=IMAGENET_MEAN,
+    std=IMAGENET_STD,
+    bgr: bool = False,
+    arch: str = None,
+) -> None:
     flat = {}
     for name, p in params.items():
         flat[f"{name}.kernel"] = np.asarray(p["kernel"], np.float32)
@@ -41,20 +48,24 @@ def save_npz(path: str, params: Params, mean=IMAGENET_MEAN, std=IMAGENET_STD, bg
     flat["meta.mean"] = np.asarray(mean, np.float32)
     flat["meta.std"] = np.asarray(std, np.float32)
     flat["meta.bgr"] = np.asarray(1 if bgr else 0, np.int32)
+    flat["meta.arch"] = np.asarray(arch or vgg.infer_arch(params))
     np.savez(path, **flat)
 
 
 def load_npz(path: str) -> Tuple[Params, np.ndarray, np.ndarray]:
-    """Load (params, mean, std). Validates shapes against the VGG-19 config."""
+    """Load (params, mean, std). Validates shapes against the declared arch
+    (``meta.arch``, defaulting to VGG-19 for older files)."""
     with np.load(path) as z:
         mean = z.get("meta.mean", np.asarray(IMAGENET_MEAN, np.float32))
         std = z.get("meta.std", np.asarray(IMAGENET_STD, np.float32))
         bgr = int(z.get("meta.bgr", 0))
+        arch = str(z.get("meta.arch", vgg.DEFAULT_ARCH))
+        channels = vgg.layer_channels(arch)
         params: Params = {}
-        for name in vgg.CONV_NAMES:
+        for name in vgg.conv_names(arch):
             kernel = np.asarray(z[f"{name}.kernel"], np.float32)
             bias = np.asarray(z[f"{name}.bias"], np.float32)
-            cin, cout = vgg.conv_in_channels(name), vgg.LAYER_CHANNELS[name]
+            cin, cout = vgg.conv_in_channels(name, arch), channels[name]
             if kernel.shape != (3, 3, cin, cout):
                 raise ValueError(
                     f"{name}.kernel: expected (3, 3, {cin}, {cout}), got {kernel.shape}"
@@ -67,9 +78,11 @@ def load_npz(path: str) -> Tuple[Params, np.ndarray, np.ndarray]:
     return params, mean, std
 
 
-def random_fixture(seed: int = 0) -> Tuple[Params, np.ndarray, np.ndarray]:
-    """Deterministic random VGG-19 weights + default normalization (tests/bench)."""
+def random_fixture(
+    seed: int = 0, arch: str = vgg.DEFAULT_ARCH
+) -> Tuple[Params, np.ndarray, np.ndarray]:
+    """Deterministic random VGG weights + default normalization (tests/bench)."""
     import jax
 
-    params = vgg.init_params(jax.random.PRNGKey(seed))
+    params = vgg.init_params(jax.random.PRNGKey(seed), arch=arch)
     return params, np.asarray(IMAGENET_MEAN, np.float32), np.asarray(IMAGENET_STD, np.float32)

@@ -141,3 +141,24 @@ def test_fused_gram_path_end_to_end(st, images):
     out_fused = st.stylize(content, style, _small_cfg(use_fused=True, iterations=(3,)))
     out_oracle = st.stylize(content, style, _small_cfg(use_fused=False, iterations=(3,)))
     np.testing.assert_allclose(out_fused, out_oracle, rtol=1e-4, atol=1e-5)
+
+
+def test_vgg16_stylization():
+    """The whole pipeline runs on the VGG-16 family (arch from params)."""
+    import numpy as np
+
+    from style_transfer_tpu.api import StyleTransfer, StylizeConfig
+    from style_transfer_tpu.models.weights import random_fixture
+
+    r = np.random.RandomState(11)
+    content = r.rand(48, 48, 3).astype(np.float32)
+    style = r.rand(48, 48, 3).astype(np.float32)
+    params, mean, std = random_fixture(0, arch="vgg16")
+    st = StyleTransfer(params, mean=mean, std=std)
+    assert st.arch == "vgg16"
+    cfg = StylizeConfig(
+        size=48, min_scale=48, iterations=(4,), chunk_size=2,
+        style_layers=("conv1_1", "conv2_1", "conv3_1"),
+    )
+    out = st.stylize(content, style, cfg)
+    assert out.shape == (48, 48, 3) and np.isfinite(out).all()

@@ -18,7 +18,7 @@ def _random_torch_state_dict(seed=0):
 
     r = np.random.RandomState(seed)
     sd = {}
-    for name, idx in zip(vgg.CONV_NAMES, _TORCH_FEATURE_IDX):
+    for name, idx in zip(vgg.CONV_NAMES, _TORCH_FEATURE_IDX["vgg19"]):
         cin, cout = vgg.conv_in_channels(name), vgg.LAYER_CHANNELS[name]
         sd[f"features.{idx}.weight"] = torch.tensor(
             r.randn(cout, cin, 3, 3).astype(np.float32) * 0.05
@@ -91,3 +91,27 @@ def test_caffe_npz_rejects_bad_shapes(tmp_path):
     np.savez(src, **flat)
     with pytest.raises(ValueError, match="unexpected caffe shape"):
         convert_caffe_npz(src, str(tmp_path / "out.npz"))
+
+
+def test_torch_vgg16_conversion(tmp_path):
+    import torch
+
+    r = np.random.RandomState(1)
+    sd = {}
+    for name, idx in zip(vgg.conv_names("vgg16"), _TORCH_FEATURE_IDX["vgg16"]):
+        cin, cout = vgg.conv_in_channels(name, "vgg16"), vgg.layer_channels("vgg16")[name]
+        sd[f"features.{idx}.weight"] = torch.tensor(
+            r.randn(cout, cin, 3, 3).astype(np.float32) * 0.05
+        )
+        sd[f"features.{idx}.bias"] = torch.tensor(r.randn(cout).astype(np.float32) * 0.01)
+    pth = str(tmp_path / "vgg16.pth")
+    torch.save(sd, pth)
+    dst = str(tmp_path / "vgg16.npz")
+    convert_torch(pth, dst, arch="vgg16")
+
+    params, mean, std = weights.load_npz(dst)
+    assert vgg.infer_arch(params) == "vgg16"
+    assert set(params) == set(vgg.conv_names("vgg16"))
+    w = np.asarray(params["conv3_3"]["kernel"])
+    ref = sd["features.14.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(w, ref)

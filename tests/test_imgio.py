@@ -62,3 +62,20 @@ def test_to_uint8_and_encode(rng):
     assert data[:2] == b"\xff\xd8"  # JPEG SOI
     data = imgio.encode_image(arr, "PNG")
     assert data[:4] == b"\x89PNG"
+
+
+def test_load_image_uint8_path(tmp_path):
+    import numpy as np
+    from style_transfer_tpu.utils import imgio
+
+    arr = (np.random.RandomState(0).rand(20, 24, 3) * 255).astype(np.uint8)
+    p = str(tmp_path / "x.png")
+    imgio.save_image(arr.astype(np.float32) / 255.0, p)
+    u8 = imgio.load_image(p, dtype=np.uint8)
+    f32 = imgio.load_image(p)
+    assert u8.dtype == np.uint8 and f32.dtype == np.float32
+    np.testing.assert_allclose(u8.astype(np.float32) / 255.0, f32, atol=1e-7)
+    # to_nhwc converts uint8 on device to the same floats
+    np.testing.assert_allclose(
+        np.asarray(imgio.to_nhwc(u8))[0], f32, atol=1e-7
+    )

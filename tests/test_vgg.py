@@ -124,3 +124,28 @@ def test_random_fixture_deterministic():
     np.testing.assert_array_equal(
         np.asarray(p1["conv1_1"]["kernel"]), np.asarray(p2["conv1_1"]["kernel"])
     )
+
+
+def test_vgg16_family(tiny_params):
+    """VGG-16: 13 convs, same losses/pipeline, arch inferred from params."""
+    import jax
+
+    from style_transfer_tpu.models.weights import random_fixture
+
+    assert len(vgg.conv_names("vgg16")) == 13
+    assert "conv3_4" not in vgg.conv_names("vgg16")
+    params16, mean, std = random_fixture(0, arch="vgg16")
+    assert vgg.infer_arch(params16) == "vgg16"
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    feats = vgg.extract_features(
+        params16, x, ("conv1_1", "conv3_3", "conv5_1"), arch="vgg16"
+    )
+    assert feats["conv3_3"].shape == (1, 8, 8, 256)
+    assert feats["conv5_1"].shape == (1, 2, 2, 512)
+    with pytest.raises(ValueError, match="conv3_4"):
+        vgg.extract_features(params16, x, ("conv3_4",), arch="vgg16")
+
+
+def test_infer_arch_rejects_unknown():
+    with pytest.raises(ValueError, match="no supported arch"):
+        vgg.infer_arch({"convX": {}})
