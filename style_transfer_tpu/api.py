@@ -71,6 +71,11 @@ class StylizeConfig:
     stop_patience: int = 2
 
     use_fused: bool = True  # Pallas Gram kernels (False = plain-XLA oracle path)
+    # Sanitizer (SURVEY.md section 5): verify every fetched loss term is
+    # finite and raise with run coordinates otherwise. Host-side only — the
+    # compiled programs are unchanged (combine with --debug-nans for
+    # device-level tracing).
+    debug_checks: bool = False
 
     # Background-compile later scales' programs (worker threads) while the
     # current scale optimizes; hand-over happens through the persistent
@@ -117,6 +122,7 @@ class StyleTransfer:
         self.mesh = mesh
         self.arch = vgg_mod.infer_arch(params)
         self.params = mesh_mod.replicate(params, mesh)
+        self._prog_cache: Dict[str, tuple] = {}
 
     # ---------------------------------------------------------------- model
 
@@ -150,6 +156,82 @@ class StyleTransfer:
             return pgram.gram_matrix
         return L.gram_matrix
 
+    def _programs(self, cfg: StylizeConfig):
+        """The per-config jitted program set (capture/init/step/upsample).
+
+        Keyed by the config's repr: every field that shapes the traced
+        computation (layers, weights, optimizer, fusion choice) is a plain
+        value, so equal configs reuse the same jit wrappers — and therefore
+        the same compiled executables across stylize() calls.
+        """
+        key = repr(cfg)
+        cached = self._prog_cache.get(key)
+        if cached is not None:
+            return cached
+
+        from functools import partial
+
+        c_weights = L.normalize_layer_weights(cfg.content_layers, cfg.content_layer_weights)
+        s_weights = L.normalize_layer_weights(cfg.style_layers, cfg.style_layer_weights)
+        all_layers = tuple(dict.fromkeys(list(cfg.content_layers) + list(cfg.style_layers)))
+        gram_fn = self._gram_fn(cfg)
+
+        @jax.jit
+        def capture_content(params, content_img):
+            feats = self._features(params, content_img, tuple(cfg.content_layers))
+            return {k: v for k, v in feats.items()}
+
+        @jax.jit
+        def capture_style(params, style_img):
+            feats = self._features(params, style_img, tuple(cfg.style_layers))
+            return {k: gram_fn(v) for k, v in feats.items()}
+
+        def objective(params, image, c_targets, s_targets):
+            image = mesh_mod.constrain_spatial(image, self.mesh)
+            feats = self._features(params, image, all_layers)
+            return_terms = L.objective_terms(
+                feats,
+                content_targets=c_targets,
+                style_targets=s_targets,
+                content_layer_weights=c_weights,
+                style_layer_weights=s_weights,
+                image=image,
+                content_weight=cfg.content_weight,
+                style_weight=cfg.style_weight,
+                tv_weight=cfg.tv_weight,
+                gram_fn=gram_fn,
+            )
+            return return_terms["loss"], return_terms
+
+        @jax.jit
+        def init_opt_state(image):
+            return cfg.optimizer.build().init(image)
+
+        @partial(jax.jit, static_argnames="n", donate_argnames=("image", "opt_state"))
+        def run_chunk(params, image, opt_state, c_targets, s_targets, *, n):
+            step, _ = make_step_fn(
+                lambda im: objective(params, im, c_targets, s_targets), cfg.optimizer
+            )
+
+            def body(carry, _):
+                image, opt_state = carry
+                image, opt_state, aux = step(image, opt_state)
+                return (image, opt_state), aux
+
+            (image, opt_state), loss_seq = jax.lax.scan(
+                body, (image, opt_state), None, length=n
+            )
+            return image, opt_state, loss_seq
+
+        @partial(jax.jit, static_argnames="size")
+        def upsample(image, *, size):
+            out = imgio.resize_image(image, size)
+            return mesh_mod.constrain_spatial(out, self.mesh)
+
+        programs = (capture_content, capture_style, init_opt_state, run_chunk, upsample)
+        self._prog_cache[key] = programs
+        return programs
+
     # ------------------------------------------------------------- stylize
 
     def stylize(
@@ -182,66 +264,12 @@ class StyleTransfer:
         content_t = imgio.to_nhwc(content)
         style_ts = [imgio.to_nhwc(s) for s in styles]
 
-        c_weights = L.normalize_layer_weights(cfg.content_layers, cfg.content_layer_weights)
-        s_weights = L.normalize_layer_weights(cfg.style_layers, cfg.style_layer_weights)
-        all_layers = tuple(dict.fromkeys(list(cfg.content_layers) + list(cfg.style_layers)))
-        gram_fn = self._gram_fn(cfg)
-
-        # ---- jitted building blocks (shared across scales; retrace per shape)
-
-        @jax.jit
-        def capture_content(params, content_img):
-            feats = self._features(params, content_img, tuple(cfg.content_layers))
-            return {k: v for k, v in feats.items()}
-
-        @jax.jit
-        def capture_style(params, style_img):
-            feats = self._features(params, style_img, tuple(cfg.style_layers))
-            return {k: gram_fn(v) for k, v in feats.items()}
-
-        def objective(params, image, c_targets, s_targets):
-            image = mesh_mod.constrain_spatial(image, self.mesh)
-            feats = self._features(params, image, all_layers)
-            return_terms = L.objective_terms(
-                feats,
-                content_targets=c_targets,
-                style_targets=s_targets,
-                content_layer_weights=c_weights,
-                style_layer_weights=s_weights,
-                image=image,
-                content_weight=cfg.content_weight,
-                style_weight=cfg.style_weight,
-                tv_weight=cfg.tv_weight,
-                gram_fn=gram_fn,
-            )
-            return return_terms["loss"], return_terms
-
-        from functools import partial
-
-        @jax.jit
-        def init_opt_state(image):
-            return cfg.optimizer.build().init(image)
-
-        @partial(jax.jit, static_argnames="n", donate_argnames=("image", "opt_state"))
-        def run_chunk(params, image, opt_state, c_targets, s_targets, *, n):
-            step, _ = make_step_fn(
-                lambda im: objective(params, im, c_targets, s_targets), cfg.optimizer
-            )
-
-            def body(carry, _):
-                image, opt_state = carry
-                image, opt_state, aux = step(image, opt_state)
-                return (image, opt_state), aux
-
-            (image, opt_state), loss_seq = jax.lax.scan(
-                body, (image, opt_state), None, length=n
-            )
-            return image, opt_state, loss_seq
-
-        @partial(jax.jit, static_argnames="size")
-        def upsample(image, *, size):
-            out = imgio.resize_image(image, size)
-            return mesh_mod.constrain_spatial(out, self.mesh)
+        # jitted building blocks — cached per config on the instance, so
+        # repeated stylize() calls (a serving loop) reuse traced programs
+        # and their compiled executables instead of rebuilding closures.
+        capture_content, capture_style, init_opt_state, run_chunk, upsample = (
+            self._programs(cfg)
+        )
 
         # ---- the multi-scale loop (SURVEY.md section 3.1 outer loop)
 
@@ -382,6 +410,14 @@ class StyleTransfer:
                     losses = {k: np.asarray(v) for k, v in jax.device_get(loss_seq).items()}
                     dt = time.perf_counter() - t0
                     done_iters += n
+
+                    if cfg.debug_checks:
+                        bad = {k: v for k, v in losses.items() if not np.isfinite(v).all()}
+                        if bad:
+                            raise FloatingPointError(
+                                f"non-finite loss terms {sorted(bad)} at scale "
+                                f"{scale.index} ({h}x{w}), iteration {done_iters}"
+                            )
 
                     if callback is not None:
                         img_ref, opt_ref = image, opt_state

@@ -97,7 +97,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="periodically checkpoint {image, opt state, schedule position}")
     g.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --checkpoint-dir")
-    g.add_argument("--debug-nans", action="store_true")
+    g.add_argument("--debug-nans", action="store_true",
+                   help="jax.config.jax_debug_nans: trap NaNs inside compiled code")
+    g.add_argument("--debug-checks", action="store_true",
+                   help="verify every fetched loss term is finite; raise with "
+                        "scale/iteration coordinates otherwise")
     return p
 
 
@@ -219,6 +223,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         stop_tol=args.stop_tol,
         stop_patience=args.stop_patience,
         use_fused=not args.unfused,
+        debug_checks=args.debug_checks,
     )
 
     metrics = MetricsRecorder()

@@ -162,3 +162,44 @@ def test_vgg16_stylization():
     )
     out = st.stylize(content, style, cfg)
     assert out.shape == (48, 48, 3) and np.isfinite(out).all()
+
+
+def test_program_cache_reused_across_calls():
+    """Repeated stylize() with an equal config reuses the jitted programs
+    (serving loop: no rebuild/retrace) and reproduces the result exactly."""
+    import numpy as np
+
+    from style_transfer_tpu.api import StyleTransfer, StylizeConfig
+
+    r = np.random.RandomState(5)
+    content = r.rand(32, 32, 3).astype(np.float32)
+    style = r.rand(32, 32, 3).astype(np.float32)
+    st = StyleTransfer()
+    cfg = StylizeConfig(size=32, min_scale=32, iterations=(3,), chunk_size=3,
+                        style_layers=("conv1_1", "conv2_1"))
+    out1 = st.stylize(content, style, cfg)
+    progs1 = dict(st._prog_cache)
+    out2 = st.stylize(content, style, cfg)
+    assert list(st._prog_cache) == list(progs1)
+    assert all(st._prog_cache[k] is progs1[k] for k in progs1)
+    np.testing.assert_array_equal(out1, out2)
+
+
+def test_debug_checks_raise_on_nonfinite():
+    import numpy as np
+    import pytest
+
+    from style_transfer_tpu.api import StyleTransfer, StylizeConfig
+    from style_transfer_tpu.optim import OptimizerSpec
+
+    r = np.random.RandomState(5)
+    content = r.rand(32, 32, 3).astype(np.float32)
+    style = r.rand(32, 32, 3).astype(np.float32)
+    st = StyleTransfer()
+    # a huge learning rate diverges to inf within a few Adam steps? Adam is
+    # bounded by lr per step; instead poison via a non-finite init image.
+    bad_init = np.full((32, 32, 3), np.nan, np.float32)
+    cfg = StylizeConfig(size=32, min_scale=32, iterations=(2,), chunk_size=2,
+                        style_layers=("conv1_1",), debug_checks=True)
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        st.stylize(content, style, cfg, init_image=bad_init)
