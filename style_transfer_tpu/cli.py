@@ -80,6 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="activation compute dtype (default: bf16 on TPU)")
     g.add_argument("--unfused", action="store_true",
                    help="disable Pallas kernels; use the plain-XLA oracle path")
+    g.add_argument("--remat", choices=["auto", "on", "off"], default="auto",
+                   help="recompute the VGG forward in the backward instead of "
+                        "storing activations (auto: on at >=2560^2 px/device)")
     g.add_argument("--chunk-size", type=int, default=50,
                    help="optimizer steps per device dispatch / host sync")
     g.add_argument("--print-every", type=int, default=25)
@@ -224,6 +227,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         stop_patience=args.stop_patience,
         use_fused=not args.unfused,
         debug_checks=args.debug_checks,
+        remat={"auto": None, "on": True, "off": False}[args.remat],
     )
 
     metrics = MetricsRecorder()

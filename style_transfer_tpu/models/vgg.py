@@ -209,6 +209,7 @@ def extract_features(
     compute_dtype: Optional[jnp.dtype] = None,
     shard_divisor: Optional[int] = None,
     arch: str = DEFAULT_ARCH,
+    remat: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Run a VGG variant on preprocessed NHWC input, returning requested
     activations.
@@ -218,6 +219,13 @@ def extract_features(
     accumulation matters). Pass ``shard_divisor`` = mesh size when the H
     axis is sharded so pooling picks its SPMD-exact path for tiny extents
     (see :func:`_pool`).
+
+    ``remat=True`` checkpoints each conv *block*: between forward and
+    backward only block boundaries and requested activations stay live, and
+    each block's backward recomputes just that block's interior. (Blockwise
+    is the right granularity — checkpointing the whole extractor makes the
+    backward re-store every activation during its one recompute and
+    *increases* peak memory, measured 17.9 GB vs 16.5 GB at 4K on v5e.)
     """
     if not layers:
         raise ValueError("no layers requested")
@@ -228,19 +236,30 @@ def extract_features(
 
     feats: Dict[str, jnp.ndarray] = {}
     for b, n, _ in blocks(arch):
-        for i in range(1, n + 1):
-            name = f"conv{b}_{i}"
-            p = params[name]
-            x = jax.nn.relu(_conv(x, p["kernel"], p["bias"]))
-            if name in wanted:
-                feats[name] = x
-            if name == stop:
-                return feats
-        name = f"pool{b}"
-        x = _pool(x, pooling, shard_divisor)
-        if name in wanted:
-            feats[name] = x
-        if name == stop:
+        names = [f"conv{b}_{i}" for i in range(1, n + 1)]
+        pool_name = f"pool{b}"
+        block_stop = stop if (stop in names or stop == pool_name) else None
+
+        def block_fn(bparams, x, names=names, pool_name=pool_name, block_stop=block_stop):
+            bf: Dict[str, jnp.ndarray] = {}
+            for name in names:
+                p = bparams[name]
+                x = jax.nn.relu(_conv(x, p["kernel"], p["bias"]))
+                if name in wanted:
+                    bf[name] = x
+                if name == block_stop:
+                    return x, bf
+            x = _pool(x, pooling, shard_divisor)
+            if pool_name in wanted:
+                bf[pool_name] = x
+            return x, bf
+
+        if remat:
+            block_fn = jax.checkpoint(block_fn)
+        bparams = {name: params[name] for name in names}
+        x, block_feats = block_fn(bparams, x)
+        feats.update(block_feats)
+        if block_stop is not None:
             return feats
     return feats
 

@@ -203,3 +203,21 @@ def test_debug_checks_raise_on_nonfinite():
                         style_layers=("conv1_1",), debug_checks=True)
     with pytest.raises(FloatingPointError, match="non-finite"):
         st.stylize(content, style, cfg, init_image=bad_init)
+
+
+def test_remat_path_matches_default():
+    """remat=True recomputes the forward in the backward — same trajectory."""
+    import numpy as np
+
+    from style_transfer_tpu.api import StyleTransfer, StylizeConfig
+
+    r = np.random.RandomState(6)
+    content = r.rand(32, 32, 3).astype(np.float32)
+    style = r.rand(32, 32, 3).astype(np.float32)
+    st = StyleTransfer()
+    kw = dict(size=32, min_scale=32, iterations=(3,), chunk_size=3,
+              style_layers=("conv1_1", "conv2_1"))
+    out_plain = st.stylize(content, style, StylizeConfig(remat=False, **kw))
+    out_remat = st.stylize(content, style, StylizeConfig(remat=True, **kw))
+    # recompute-vs-stored reassociates a few fp32 ops -> ~1e-6 drift
+    np.testing.assert_allclose(out_remat, out_plain, atol=5e-6)
