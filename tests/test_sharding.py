@@ -155,3 +155,39 @@ def test_sharded_lbfgs(mesh8, images):
     out = StyleTransfer(mesh=mesh8).stylize(content, style, cfg)
     out_single = StyleTransfer().stylize(content, style, cfg)
     np.testing.assert_allclose(out, out_single, atol=1e-4)
+
+
+def test_sharded_gradient_exact_with_remat(mesh8, images):
+    """Blockwise remat changes the backward structure; verify the sharded
+    gradient still equals the unsharded one (guards remat x SPMD interplay
+    on top of the reshape-pool miscompile workaround)."""
+    import jax.numpy as jnp
+
+    from style_transfer_tpu.models import vgg as vgg_mod
+    from style_transfer_tpu.models.weights import random_fixture
+
+    params, mean, std = random_fixture(0)
+    layers = ("conv1_1", "conv3_1", "conv5_1")
+
+    def make_obj(msh):
+        div = msh.devices.size if msh is not None else None
+
+        def obj(p, x):
+            x = mesh_mod.constrain_spatial(x, msh)
+            feats = vgg_mod.extract_features(
+                p, x, layers, pooling="average", shard_divisor=div, remat=True
+            )
+            return sum(jnp.sum(v.astype(jnp.float32) ** 2) for v in feats.values())
+
+        return jax.jit(jax.value_and_grad(obj, argnums=1))
+
+    r = np.random.RandomState(4)
+    x = r.rand(1, 32, 24, 3).astype(np.float32)
+    v1, g1 = make_obj(None)(params, x)
+    xs = mesh_mod.shard_image(jnp.asarray(x), mesh8)
+    v2, g2 = make_obj(mesh8)(params, xs)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-5)
+    scale = np.abs(np.asarray(g1)).max()
+    np.testing.assert_allclose(
+        np.asarray(g2), np.asarray(g1), atol=2e-5 * max(scale, 1.0)
+    )
