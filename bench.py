@@ -51,6 +51,9 @@ def main(argv=None) -> int:
     p.add_argument("--quick", action="store_true", help="512px its/sec only (fast CI)")
     p.add_argument("--unfused", action="store_true")
     p.add_argument("--skip-rates", action="store_true", help="skip 512/1024 its/sec probes")
+    p.add_argument("--cold", action="store_true",
+                   help="skip the warm pass; the wall-clock then includes XLA "
+                        "compiles (cache-state dependent)")
     args = p.parse_args(argv)
 
     import jax
@@ -85,6 +88,9 @@ def main(argv=None) -> int:
 
     extra = {"backend": backend, "devices": n_dev, "fused": not args.unfused}
 
+    if args.quick:
+        args.skip_rates = False  # --quick IS the 512px rate probe
+
     if not args.skip_rates:
         t0 = time.time()
         extra["its_per_sec_512"] = round(
@@ -110,8 +116,7 @@ def main(argv=None) -> int:
         return 0
 
     # The headline: full coarse-to-fine run to `--size`, convergence-matched
-    # early stopping per scale. Wall-clock includes compiles (honest
-    # end-to-end number; the persistent cache amortizes them across runs).
+    # early stopping per scale.
     cfg = StylizeConfig(
         size=args.size,
         min_scale=256,
@@ -121,6 +126,23 @@ def main(argv=None) -> int:
         stop_patience=2,
         **cfg_kw,
     )
+
+    if not args.cold:
+        # Warm pass: one chunk per scale compiles every program of the real
+        # run (same shapes, same chunk length), so the timed run below
+        # measures steady-state capability rather than XLA compile time /
+        # compilation-cache state. --cold skips this.
+        warm_cfg = StylizeConfig(
+            size=args.size,
+            min_scale=256,
+            iterations=tuple(min(i, cfg.chunk_size) for i in args.iterations),
+            chunk_size=cfg.chunk_size,
+            **cfg_kw,
+        )
+        t0 = time.time()
+        st.stylize(content, style, warm_cfg)
+        log(f"warm pass: {time.time()-t0:.1f}s")
+
     t0 = time.time()
     st.stylize(content, style, cfg)
     wall = time.time() - t0

@@ -172,12 +172,26 @@ class StyleTransfer:
     def _programs(self, cfg: StylizeConfig):
         """The per-config jitted program set (capture/init/step/upsample).
 
-        Keyed by the config's repr: every field that shapes the traced
-        computation (layers, weights, optimizer, fusion choice) is a plain
-        value, so equal configs reuse the same jit wrappers — and therefore
+        Keyed by exactly the fields that shape the traced computation
+        (layers, loss weights, optimizer, fusion/remat choices) — schedule
+        fields like iterations or stop_tol don't retrace, so configs that
+        differ only in scheduling reuse the same jit wrappers and therefore
         the same compiled executables across stylize() calls.
         """
-        key = repr(cfg)
+        key = repr(
+            (
+                tuple(cfg.content_layers),
+                tuple(cfg.content_layer_weights or ()),
+                tuple(cfg.style_layers),
+                tuple(cfg.style_layer_weights or ()),
+                cfg.content_weight,
+                cfg.style_weight,
+                cfg.tv_weight,
+                cfg.optimizer,
+                cfg.use_fused,
+                cfg.remat,
+            )
+        )
         cached = self._prog_cache.get(key)
         if cached is not None:
             return cached
