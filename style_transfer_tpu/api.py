@@ -134,7 +134,13 @@ class StyleTransfer:
         self.mesh = mesh
         self.arch = vgg_mod.infer_arch(params)
         self.params = mesh_mod.replicate(params, mesh)
-        self._prog_cache: Dict[str, tuple] = {}
+        # LRU of jitted program sets; bounded so a server sweeping config
+        # values (weights, learning rates) can't grow traced programs +
+        # compiled executables without limit.
+        from collections import OrderedDict
+
+        self._prog_cache: "OrderedDict[str, tuple]" = OrderedDict()
+        self._prog_cache_max = 8
 
     # ---------------------------------------------------------------- model
 
@@ -194,6 +200,7 @@ class StyleTransfer:
         )
         cached = self._prog_cache.get(key)
         if cached is not None:
+            self._prog_cache.move_to_end(key)
             return cached
 
         from functools import partial
@@ -262,6 +269,8 @@ class StyleTransfer:
 
         programs = (capture_content, capture_style, init_opt_state, run_chunk, upsample)
         self._prog_cache[key] = programs
+        while len(self._prog_cache) > self._prog_cache_max:
+            self._prog_cache.popitem(last=False)
         return programs
 
     # ------------------------------------------------------------- stylize
@@ -320,10 +329,9 @@ class StyleTransfer:
         # the main loop's jit calls, which then deserialize instead of
         # recompiling. Best-effort: any warming failure leaves the normal
         # compile path untouched.
-        warm_pool = None
+        warm_cancel = None
         if cfg.warm_compile and self.mesh is None and len(plan) > 1:
             _ensure_compile_cache()
-            import concurrent.futures
 
             params_aval = jax.tree_util.tree_map(
                 lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), self.params
@@ -333,14 +341,14 @@ class StyleTransfer:
                 jax.ShapeDtypeStruct(st.shape, jnp.float32) for st in style_ts
             ]
 
-            def _warm_scale(scale, prev_size):
+            def _warm_scale(scale, prev_size, cancel):
                 h, w = scale.size
                 img_aval = jax.ShapeDtypeStruct((1, h, w, 3), jnp.float32)
-                upsample.lower(content_full_aval, size=(h, w)).compile()
+                steps = [lambda: upsample.lower(content_full_aval, size=(h, w)).compile()]
                 if prev_size is not None:
                     prev_aval = jax.ShapeDtypeStruct((1, *prev_size, 3), jnp.float32)
-                    upsample.lower(prev_aval, size=(h, w)).compile()
-                capture_content.lower(params_aval, img_aval).compile()
+                    steps.append(lambda: upsample.lower(prev_aval, size=(h, w)).compile())
+                steps.append(lambda: capture_content.lower(params_aval, img_aval).compile())
                 style_long = max(32, int(round(max(h, w) * cfg.style_scale)))
                 seen = set()
                 for st_aval in style_full_avals:
@@ -349,9 +357,13 @@ class StyleTransfer:
                     if ssize in seen:
                         continue
                     seen.add(ssize)
-                    upsample.lower(st_aval, size=ssize).compile()
+                    steps.append(
+                        lambda a=st_aval, s=ssize: upsample.lower(a, size=s).compile()
+                    )
                     s_aval = jax.ShapeDtypeStruct((1, *ssize, 3), jnp.float32)
-                    capture_style.lower(params_aval, s_aval).compile()
+                    steps.append(
+                        lambda a=s_aval: capture_style.lower(params_aval, a).compile()
+                    )
                 c_t_aval = jax.eval_shape(capture_content, params_aval, img_aval)
                 g_aval = jax.eval_shape(
                     capture_style,
@@ -368,15 +380,35 @@ class StyleTransfer:
                 if 0 < rem < min(cfg.chunk_size, scale.iterations):
                     ns.add(rem)
                 for n in sorted(ns):
-                    run_chunk.lower(
-                        params_aval, img_aval, opt_aval, c_t_aval, s_t_aval, n=n
-                    ).compile()
+                    steps.append(
+                        lambda n=n: run_chunk.lower(
+                            params_aval, img_aval, opt_aval, c_t_aval, s_t_aval, n=n
+                        ).compile()
+                    )
+                for step in steps:
+                    if cancel.is_set():
+                        return
+                    step()
 
-            warm_pool = concurrent.futures.ThreadPoolExecutor(
-                max_workers=min(4, len(plan) - 1), thread_name_prefix="st-warmc"
-            )
-            for i, scale in enumerate(plan[1:], start=1):
-                warm_pool.submit(_safe_warm, _warm_scale, scale, plan[i - 1].size)
+            # Daemon threads, not a ThreadPoolExecutor: executor workers are
+            # non-daemon and are joined at interpreter exit, so an early
+            # return/exception would leave the process hanging on in-flight
+            # multi-minute XLA compiles. Daemon threads die with the process;
+            # the cancel event stops them between compile steps.
+            import threading
+
+            warm_cancel = threading.Event()
+            warm_pool = [
+                threading.Thread(
+                    target=_safe_warm,
+                    args=(_warm_scale, scale, plan[i - 1].size, warm_cancel),
+                    name=f"st-warmc-{scale.index}",
+                    daemon=True,
+                )
+                for i, scale in enumerate(plan[1:], start=1)
+            ]
+            for t in warm_pool:
+                t.start()
 
         try:
             # --resume: skip completed scales, restore image + optimizer state
@@ -489,8 +521,8 @@ class StyleTransfer:
             final = np.asarray(jax.device_get(image))[0]
             return np.clip(final, 0.0, 1.0)
         finally:
-            if warm_pool is not None:
-                warm_pool.shutdown(wait=False, cancel_futures=True)
+            if warm_cancel is not None:
+                warm_cancel.set()
 
     # ---------------------------------------------------------------- misc
 

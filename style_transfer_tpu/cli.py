@@ -17,14 +17,34 @@ from typing import List, Optional
 from style_transfer_tpu.models.vgg import DEFAULT_CONTENT_LAYERS, DEFAULT_STYLE_LAYERS
 
 
+class _ListLayers(argparse.Action):
+    """--list-layers: print each architecture's capturable layers and exit."""
+
+    def __init__(self, option_strings, dest, **kw):
+        kw.setdefault("nargs", 0)
+        super().__init__(option_strings, dest, **kw)
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        from style_transfer_tpu.models.vgg import ARCH_BLOCKS, layer_names
+
+        for arch in sorted(ARCH_BLOCKS):
+            print(f"{arch}: " + " ".join(layer_names(arch)))
+        parser.exit(0)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="style_transfer_tpu",
         description="TPU-native neural style transfer (Gatys VGG-19 family).",
     )
+    from style_transfer_tpu import __version__
+
     p.add_argument("content", help="content image path")
     p.add_argument("styles", nargs="+", help="style image path(s)")
     p.add_argument("-o", "--output", default="out.png", help="output image path")
+    p.add_argument("--version", action="version", version=f"%(prog)s {__version__}")
+    p.add_argument("--list-layers", action=_ListLayers,
+                   help="print capturable layer names per architecture and exit")
 
     g = p.add_argument_group("scales")
     g.add_argument("-s", "--size", type=int, default=512, help="final long side in px")

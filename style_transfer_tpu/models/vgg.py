@@ -207,7 +207,7 @@ def extract_features(
     *,
     pooling: str = "average",
     compute_dtype: Optional[jnp.dtype] = None,
-    shard_divisor: Optional[int] = None,
+    shard_divisor: Optional[int] = 8,
     arch: str = DEFAULT_ARCH,
     remat: bool = False,
 ) -> Dict[str, jnp.ndarray]:
@@ -216,9 +216,15 @@ def extract_features(
 
     Truncates the forward at the deepest requested layer. Activations are
     returned in ``compute_dtype`` (callers' losses upcast where fp32
-    accumulation matters). Pass ``shard_divisor`` = mesh size when the H
-    axis is sharded so pooling picks its SPMD-exact path for tiny extents
-    (see :func:`_pool`).
+    accumulation matters). ``shard_divisor`` makes pooling pick its
+    SPMD-exact path once pooled heights stop dividing it (see
+    :func:`_pool`); pass the mesh size when the H axis is sharded. The
+    default of 8 is *safe by default* for meshes up to the v5e-8 slice —
+    a caller who shards over a mesh without passing the kwarg still gets
+    correct gradients, at a negligible cost (the exact path only engages on
+    heights that aren't multiples of 2*divisor, i.e. small/odd extents).
+    Pass ``None`` only for provably unsharded use to allow the fast path
+    everywhere.
 
     ``remat=True`` checkpoints each conv *block*: between forward and
     backward only block boundaries and requested activations stay live, and

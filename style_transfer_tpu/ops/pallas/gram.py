@@ -27,11 +27,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Row-tile size: (TILE_M, C) bf16 block = 2 MiB at C=128, leaving room for
-# double buffering and the (C, C) fp32 accumulator within the ~16 MiB
-# budget. Large tiles amortize per-grid-step overhead: measured on v5e at
-# (262144, 128), tile 8192 runs 0.64 ms vs 0.78 ms at tile 512.
-TILE_M = 8192
+# Row-tile budget: the (TILE_M, C) input block may use at most this many
+# bytes, so that double buffering plus the (C, C) fp32 accumulator stay
+# within the ~16 MiB VMEM budget at any channel width / dtype. Large tiles
+# amortize per-grid-step overhead: measured on v5e at (262144, 128) bf16,
+# tile 8192 runs 0.64 ms vs 0.78 ms at tile 512.
+_TILE_BYTES = 4 * 1024 * 1024
+TILE_M = 8192  # upper bound (reached at C=128 bf16)
+
+
+def _tile_m(c: int, itemsize: int) -> int:
+    """Largest row tile whose (tile, c) block fits the VMEM budget."""
+    t = _TILE_BYTES // max(1, c * itemsize)
+    return max(8, min(TILE_M, (t // 8) * 8))
 
 # Channel widths routed to the streaming kernel by gram_matrix. Standalone,
 # the kernel beats XLA's einsum at C=128 (0.64 ms vs 0.93 ms at VGG conv2_1
@@ -75,15 +83,16 @@ def _gram_kernel(f_ref, out_ref, acc_ref):
 def _gram_2d(f: jnp.ndarray, normalizer: int) -> jnp.ndarray:
     """(M, C) features -> (C, C) float32 Gram / normalizer."""
     m, c = f.shape
-    m_pad = pl.cdiv(m, TILE_M) * TILE_M
+    tile_m = _tile_m(c, f.dtype.itemsize)
+    m_pad = pl.cdiv(m, tile_m) * tile_m
     if m_pad != m:
         f = jnp.pad(f, ((0, m_pad - m), (0, 0)))
-    grid = (m_pad // TILE_M,)
+    grid = (m_pad // tile_m,)
     out = pl.pallas_call(
         _gram_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_M, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((tile_m, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
         ],
         out_specs=pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, c), jnp.float32),
@@ -130,12 +139,11 @@ def gram_matrix(feat: jnp.ndarray) -> jnp.ndarray:
 
     (N, H, W, C) activations -> (C, C) float32 Gram normalized by N*H*W.
 
-    Dispatches per channel width: the streaming Pallas kernel where it beats
-    XLA's einsum on v5e (C=128: 0.64 ms vs 0.93 ms at VGG conv2_1 1024px
-    extents), the plain contraction everywhere else (C=64: XLA 0.92 ms vs
-    Pallas 1.7 ms, the lane dimension being half-utilized; C>=256: tie,
-    where XLA keeps its fusion freedom). The backward of both paths is the
-    same single (M, C) x (C, C) matmul.
+    Dispatches per channel width via ``_PALLAS_CHANNELS`` — which is EMPTY
+    by default, because in-context the XLA einsum wins everywhere (see the
+    measurement note on ``_PALLAS_CHANNELS``); every call therefore takes
+    the plain contraction unless that set is changed. The backward of both
+    paths is the same single (M, C) x (C, C) matmul.
     """
     if feat.shape[-1] in _PALLAS_CHANNELS:
         return pallas_gram(feat)

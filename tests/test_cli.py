@@ -125,3 +125,19 @@ def test_shipped_configs_parse(images):
     assert len(files) == 5
     for f in files:
         load_config_defaults(build_parser(), f)  # raises on any unknown key
+
+
+def test_list_layers_and_version(capsys):
+    import pytest
+
+    from style_transfer_tpu.cli import build_parser
+
+    with pytest.raises(SystemExit) as e:
+        build_parser().parse_args(["--list-layers"])
+    assert e.value.code == 0
+    out = capsys.readouterr().out
+    assert "vgg19: conv1_1" in out and "vgg16:" in out and "conv5_4" in out
+
+    with pytest.raises(SystemExit) as e:
+        build_parser().parse_args(["--version"])
+    assert e.value.code == 0

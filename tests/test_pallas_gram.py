@@ -78,7 +78,8 @@ def test_gram_under_jit(rng):
 
 
 def test_gram_dispatch(rng):
-    """gram_matrix routes C=128 to the kernel and both paths agree."""
+    """gram_matrix (dispatch, einsum by default) and pallas_gram (always
+    kernel) both match the oracle at kernel-eligible and ineligible widths."""
     f128 = jnp.asarray(rng.randn(1, 9, 9, 128).astype(np.float32))
     f64 = jnp.asarray(rng.randn(1, 9, 9, 64).astype(np.float32))
     for feat in (f128, f64):
