@@ -64,6 +64,12 @@ class StylizeConfig:
     init: str = "content"  # "content" | "random" | "mean"
     seed: int = 0
 
+    # Iterate averaging (Polyak/EMA): the returned/displayed image is an
+    # exponential moving average of the optimizer iterates (decay per step),
+    # which smooths Adam oscillation artifacts; the raw image keeps
+    # optimizing. 0 disables (the raw final iterate is returned).
+    avg_decay: float = 0.0
+
     # Convergence-matched stopping (driver config 4, BASELINE.json:10):
     # stop a scale early when the relative chunk-mean loss improvement stays
     # below ``stop_tol`` for ``stop_patience`` consecutive chunks. 0 disables.
@@ -196,6 +202,7 @@ class StyleTransfer:
                 cfg.optimizer,
                 cfg.use_fused,
                 cfg.remat,
+                cfg.avg_decay,
             )
         )
         cached = self._prog_cache.get(key)
@@ -246,21 +253,29 @@ class StyleTransfer:
         def init_opt_state(image):
             return cfg.optimizer.build().init(image)
 
-        @partial(jax.jit, static_argnames="n", donate_argnames=("image", "opt_state"))
-        def run_chunk(params, image, opt_state, c_targets, s_targets, *, n):
+        @partial(
+            jax.jit, static_argnames="n", donate_argnames=("image", "ema", "opt_state")
+        )
+        def run_chunk(params, image, ema, opt_state, c_targets, s_targets, *, n):
             step, _ = make_step_fn(
                 lambda im: objective(params, im, c_targets, s_targets), cfg.optimizer
             )
+            decay = jnp.float32(cfg.avg_decay)
 
             def body(carry, _):
-                image, opt_state = carry
+                image, ema, opt_state = carry
                 image, opt_state, aux = step(image, opt_state)
-                return (image, opt_state), aux
+                if cfg.avg_decay > 0:
+                    # Polyak/EMA of iterates (ema starts at the init image, so
+                    # no bias correction is needed); the averaged image is the
+                    # displayed/saved result, the raw image keeps optimizing.
+                    ema = decay * ema + (1.0 - decay) * image
+                return (image, ema, opt_state), aux
 
-            (image, opt_state), loss_seq = jax.lax.scan(
-                body, (image, opt_state), None, length=n
+            (image, ema, opt_state), loss_seq = jax.lax.scan(
+                body, (image, ema, opt_state), None, length=n
             )
-            return image, opt_state, loss_seq
+            return image, ema, opt_state, loss_seq
 
         @partial(jax.jit, static_argnames="size")
         def upsample(image, *, size):
@@ -375,6 +390,11 @@ class StyleTransfer:
                     for l, g in g_aval.items()
                 }
                 opt_aval = jax.eval_shape(init_opt_state, img_aval)
+                ema_aval = (
+                    img_aval
+                    if cfg.avg_decay > 0
+                    else jax.ShapeDtypeStruct((1, 1, 1, 3), jnp.float32)
+                )
                 ns = {min(cfg.chunk_size, scale.iterations)}
                 rem = scale.iterations % cfg.chunk_size
                 if 0 < rem < min(cfg.chunk_size, scale.iterations):
@@ -382,7 +402,8 @@ class StyleTransfer:
                 for n in sorted(ns):
                     steps.append(
                         lambda n=n: run_chunk.lower(
-                            params_aval, img_aval, opt_aval, c_t_aval, s_t_aval, n=n
+                            params_aval, img_aval, ema_aval, opt_aval, c_t_aval,
+                            s_t_aval, n=n,
                         ).compile()
                     )
                 for step in steps:
@@ -442,6 +463,7 @@ class StyleTransfer:
                 s_targets = {l: L.blend_grams(gs, blend) for l, gs in gram_list.items()}
                 s_targets = mesh_mod.replicate(s_targets, self.mesh)
 
+                averaging = cfg.avg_decay > 0
                 if scale.index == resume_scale:
                     image = mesh_mod.shard_image(
                         jnp.asarray(resume_state["image"], jnp.float32), self.mesh
@@ -453,14 +475,33 @@ class StyleTransfer:
                         )
                     opt_state = restore_opt_state(init_opt_state(image), resume_opt_leaves)
                     done_iters = min(resume_iters, scale.iterations)
+                    if averaging:
+                        ema = mesh_mod.shard_image(
+                            jnp.asarray(
+                                resume_state.get("ema", resume_state["image"]),
+                                jnp.float32,
+                            ),
+                            self.mesh,
+                        )
                 else:
                     if image is None:
                         image = self._init_image(cfg, content_s, init_image, key, (h, w))
+                        # jnp.copy: image and ema are both donated to run_chunk
+                        # and must not alias the same buffer.
+                        ema = jnp.copy(image) if averaging else None
                     else:
                         image = upsample(image, size=(h, w))
+                        if averaging:
+                            ema = upsample(ema, size=(h, w))
                     image = mesh_mod.shard_image(image, self.mesh)
+                    if averaging:
+                        ema = mesh_mod.shard_image(ema, self.mesh)
                     opt_state = init_opt_state(image)
                     done_iters = 0
+                if not averaging:
+                    # the program still threads an (unused) ema carry; keep it
+                    # trivially small so the default path pays nothing.
+                    ema = jnp.zeros((1, 1, 1, 3), jnp.float32)
 
                 # ---- per-scale chunked optimize loop
                 prev_mean = None
@@ -468,8 +509,8 @@ class StyleTransfer:
                 while done_iters < scale.iterations:
                     n = min(cfg.chunk_size, scale.iterations - done_iters)
                     t0 = time.perf_counter()
-                    image, opt_state, loss_seq = run_chunk(
-                        self.params, image, opt_state, c_targets, s_targets, n=n
+                    image, ema, opt_state, loss_seq = run_chunk(
+                        self.params, image, ema, opt_state, c_targets, s_targets, n=n
                     )
                     losses = {k: np.asarray(v) for k, v in jax.device_get(loss_seq).items()}
                     dt = time.perf_counter() - t0
@@ -485,8 +526,22 @@ class StyleTransfer:
 
                     if callback is not None:
                         img_ref, opt_ref = image, opt_state
+                        show_ref = ema if averaging else image
+                        ema_ref = ema if averaging else None
                         it_ref, sc_ref = done_iters, scale.index
                         is_last = scale.index == plan[-1].index and done_iters >= scale.iterations
+
+                        def _state(img=img_ref, opt=opt_ref, it=it_ref, sc=sc_ref, em=ema_ref):
+                            state = {
+                                "image": np.asarray(jax.device_get(img)),
+                                "opt_state_leaves": flatten_opt_state(opt),
+                                "scale_index": np.asarray(sc),
+                                "iteration": np.asarray(it),
+                            }
+                            if em is not None:
+                                state["ema"] = np.asarray(jax.device_get(em))
+                            return state
+
                         callback(
                             ProgressEvent(
                                 scale_index=scale.index,
@@ -496,16 +551,11 @@ class StyleTransfer:
                                 total_iterations=scale.iterations,
                                 losses=losses,
                                 its_per_sec=n / dt if dt > 0 else float("inf"),
-                                get_image=lambda img=img_ref: np.asarray(
+                                get_image=lambda img=show_ref: np.asarray(
                                     jnp.clip(jax.device_get(img)[0], 0.0, 1.0)
                                 ),
                                 done=is_last,
-                                get_state=lambda img=img_ref, opt=opt_ref, it=it_ref, sc=sc_ref: {
-                                    "image": np.asarray(jax.device_get(img)),
-                                    "opt_state_leaves": flatten_opt_state(opt),
-                                    "scale_index": np.asarray(sc),
-                                    "iteration": np.asarray(it),
-                                },
+                                get_state=_state,
                             )
                         )
 
@@ -518,7 +568,8 @@ class StyleTransfer:
                                 break
                         prev_mean = mean_loss
 
-            final = np.asarray(jax.device_get(image))[0]
+            result = ema if cfg.avg_decay > 0 else image
+            final = np.asarray(jax.device_get(result))[0]
             return np.clip(final, 0.0, 1.0)
         finally:
             if warm_cancel is not None:

@@ -78,6 +78,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--init", default="content",
                    help="'content', 'random', 'mean', or a path to an init image")
     g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--avg-decay", type=float, default=0.0,
+                   help="EMA decay for iterate averaging: the saved/displayed "
+                        "image is a moving average of the optimizer iterates "
+                        "(0 disables)")
     g.add_argument("--stop-tol", type=float, default=0.0,
                    help="relative per-chunk loss improvement below which a scale "
                         "stops early (0 disables; convergence-matched runs)")
@@ -243,6 +247,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         ),
         init=init_mode,
         seed=args.seed,
+        avg_decay=args.avg_decay,
         stop_tol=args.stop_tol,
         stop_patience=args.stop_patience,
         use_fused=not args.unfused,

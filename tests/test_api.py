@@ -221,3 +221,36 @@ def test_remat_path_matches_default():
     out_remat = st.stylize(content, style, StylizeConfig(remat=True, **kw))
     # recompute-vs-stored reassociates a few fp32 ops -> ~1e-6 drift
     np.testing.assert_allclose(out_remat, out_plain, atol=5e-6)
+
+
+def test_iterate_averaging_ema():
+    """avg_decay returns the EMA of iterates; matches a manual replay."""
+    import numpy as np
+
+    from style_transfer_tpu.api import StyleTransfer, StylizeConfig
+
+    r = np.random.RandomState(8)
+    content = r.rand(32, 32, 3).astype(np.float32)
+    style = r.rand(32, 32, 3).astype(np.float32)
+    st = StyleTransfer()
+    kw = dict(size=32, min_scale=32, iterations=(5,), chunk_size=5,
+              style_layers=("conv1_1", "conv2_1"))
+
+    # capture the raw trajectory via per-iteration chunks with decay off
+    raw_iterates = []
+    cfg_raw = StylizeConfig(**{**kw, "chunk_size": 1})
+    st.stylize(content, style, cfg_raw,
+               callback=lambda ev: raw_iterates.append(ev.get_state()["image"][0]))
+
+    decay = 0.7
+    out_ema = st.stylize(content, style, StylizeConfig(avg_decay=decay, **kw))
+
+    # manual EMA starting at the init image (= content)
+    ema = content.copy()
+    for it in raw_iterates:
+        ema = decay * ema + (1 - decay) * it
+    np.testing.assert_allclose(out_ema, np.clip(ema, 0, 1), atol=1e-5)
+
+    # decay=0 path returns the raw final iterate
+    out_raw = st.stylize(content, style, StylizeConfig(**kw))
+    np.testing.assert_allclose(out_raw, np.clip(raw_iterates[-1], 0, 1), atol=1e-5)
