@@ -141,3 +141,28 @@ def test_list_layers_and_version(capsys):
     with pytest.raises(SystemExit) as e:
         build_parser().parse_args(["--version"])
     assert e.value.code == 0
+
+
+def test_cli_metrics_out(tmp_path, content_style_paths=None):
+    import json
+
+    import numpy as np
+
+    from style_transfer_tpu.cli import main
+    from style_transfer_tpu.utils.imgio import save_image
+
+    r = np.random.RandomState(0)
+    c, s = str(tmp_path / "c.png"), str(tmp_path / "s.png")
+    save_image(r.rand(32, 32, 3).astype(np.float32), c)
+    save_image(r.rand(32, 32, 3).astype(np.float32), s)
+    out = str(tmp_path / "o.png")
+    metrics = str(tmp_path / "m.json")
+    rc = main([c, s, "-o", out, "--size", "32", "--min-scale", "32",
+               "--iterations", "4", "--chunk-size", "2", "--random-weights",
+               "--style-layers", "conv1_1", "conv2_1",
+               "--metrics-out", metrics, "--debug-checks"])
+    assert rc == 0
+    with open(metrics) as f:
+        rec = json.load(f)
+    assert rec["records"] and "its_per_sec" in rec["records"][0]
+    assert rec["summary"]["final_loss"] > 0
