@@ -90,12 +90,14 @@ def test_sharded_equals_unsharded_stylization(mesh8, images):
     assert float(diff.max()) < 0.05, f"max image drift {diff.max():.2e}"
 
 
-def test_sharded_gradient_exact(mesh8, images):
+@pytest.mark.parametrize("pooling", ["average", "max"])
+def test_sharded_gradient_exact(mesh8, images, pooling):
     """Single-evaluation SPMD exactness: the sharded objective value and
     image gradient equal the unsharded ones to float tolerance — including
     through all 5 pool stages at extents far below the mesh size, which
     regression-guards the XLA SPMD conv+reshape-pool backward miscompile
-    that `_pool`'s slice fallback works around (models/vgg.py)."""
+    that `_pool`'s slice fallback works around (models/vgg.py). Max pooling
+    has its own backward lowering, so both modes are covered."""
     import jax.numpy as jnp
 
     from style_transfer_tpu.models import vgg as vgg_mod
@@ -111,7 +113,7 @@ def test_sharded_gradient_exact(mesh8, images):
         def obj(p, x):
             x = mesh_mod.constrain_spatial(x, msh)
             feats = vgg_mod.extract_features(
-                p, x, layers, pooling="average", shard_divisor=div
+                p, x, layers, pooling=pooling, shard_divisor=div
             )
             return sum(jnp.sum(v.astype(jnp.float32) ** 2) for v in feats.values())
 
