@@ -129,19 +129,18 @@ def main(argv=None) -> int:
 
     if not args.cold:
         # Warm pass: compiles every program of the real run — per scale one
-        # full chunk plus the remainder chunk when the iteration count isn't
-        # chunk-aligned (a distinct static-n specialization) — so the timed
+        # of each distinct chunk length (the full chunk plus the remainder
+        # specialization when the count isn't chunk-aligned) — so the timed
         # run below measures steady-state capability rather than XLA compile
         # time / compilation-cache state. --cold skips this.
-        def warm_iters(i: int) -> int:
-            n = min(i, cfg.chunk_size)
-            rem = i % cfg.chunk_size if i > cfg.chunk_size else 0
-            return n + rem
+        from style_transfer_tpu.schedule import chunk_lengths
 
         warm_cfg = StylizeConfig(
             size=args.size,
             min_scale=256,
-            iterations=tuple(warm_iters(i) for i in args.iterations),
+            iterations=tuple(
+                sum(set(chunk_lengths(i, cfg.chunk_size))) for i in args.iterations
+            ),
             chunk_size=cfg.chunk_size,
             **cfg_kw,
         )

@@ -21,8 +21,11 @@ scale ladder is static (schedule.py) so compile count is known ahead of time.
 from __future__ import annotations
 
 import dataclasses
+import threading
 import time
-from typing import Callable, Dict, Optional, Sequence, Tuple, Union
+from collections import OrderedDict
+from functools import partial
+from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +36,7 @@ from style_transfer_tpu.models.weights import random_fixture
 from style_transfer_tpu.ops import losses as L
 from style_transfer_tpu.optim import OptimizerSpec, make_step_fn
 from style_transfer_tpu.parallel import mesh as mesh_mod
-from style_transfer_tpu.schedule import build_plan
+from style_transfer_tpu.schedule import build_plan, chunk_lengths
 from style_transfer_tpu.utils import imgio
 from style_transfer_tpu.utils.ckpt import flatten_opt_state, restore_opt_state
 from style_transfer_tpu.utils.progress import Callback, ProgressEvent
@@ -109,6 +112,14 @@ class StylizeConfig:
 REMAT_AUTO_PIXELS = 2560 * 2560
 
 
+def _style_size(style_hw, scale_hw, style_scale: float) -> Tuple[int, int]:
+    """Even-rounded style-image size for a scale (shared by the optimize
+    loop and the background compile warmer so they request equal shapes)."""
+    long_side = max(32, int(round(max(scale_hw) * style_scale)))
+    sh, sw = imgio.scale_size(style_hw, long_side)
+    return sh - sh % 2, sw - sw % 2
+
+
 class StyleTransfer:
     """Stateful wrapper: model weights + mesh + jit caches.
 
@@ -143,8 +154,6 @@ class StyleTransfer:
         # LRU of jitted program sets; bounded so a server sweeping config
         # values (weights, learning rates) can't grow traced programs +
         # compiled executables without limit.
-        from collections import OrderedDict
-
         self._prog_cache: "OrderedDict[str, tuple]" = OrderedDict()
         self._prog_cache_max = 8
 
@@ -210,8 +219,6 @@ class StyleTransfer:
             self._prog_cache.move_to_end(key)
             return cached
 
-        from functools import partial
-
         c_weights = L.normalize_layer_weights(cfg.content_layers, cfg.content_layer_weights)
         s_weights = L.normalize_layer_weights(cfg.style_layers, cfg.style_layer_weights)
         all_layers = tuple(dict.fromkeys(list(cfg.content_layers) + list(cfg.style_layers)))
@@ -219,8 +226,7 @@ class StyleTransfer:
 
         @jax.jit
         def capture_content(params, content_img):
-            feats = self._features(params, content_img, tuple(cfg.content_layers))
-            return {k: v for k, v in feats.items()}
+            return self._features(params, content_img, tuple(cfg.content_layers))
 
         @jax.jit
         def capture_style(params, style_img):
@@ -364,11 +370,9 @@ class StyleTransfer:
                     prev_aval = jax.ShapeDtypeStruct((1, *prev_size, 3), jnp.float32)
                     steps.append(lambda: upsample.lower(prev_aval, size=(h, w)).compile())
                 steps.append(lambda: capture_content.lower(params_aval, img_aval).compile())
-                style_long = max(32, int(round(max(h, w) * cfg.style_scale)))
                 seen = set()
                 for st_aval in style_full_avals:
-                    sh, sw = imgio.scale_size(st_aval.shape[1:3], style_long)
-                    ssize = (sh - sh % 2, sw - sw % 2)
+                    ssize = _style_size(st_aval.shape[1:3], (h, w), cfg.style_scale)
                     if ssize in seen:
                         continue
                     seen.add(ssize)
@@ -380,10 +384,11 @@ class StyleTransfer:
                         lambda a=s_aval: capture_style.lower(params_aval, a).compile()
                     )
                 c_t_aval = jax.eval_shape(capture_content, params_aval, img_aval)
+                # gram shapes are style-size independent; any captured size works
                 g_aval = jax.eval_shape(
                     capture_style,
                     params_aval,
-                    jax.ShapeDtypeStruct((1, *min(seen), 3), jnp.float32),
+                    jax.ShapeDtypeStruct((1, *next(iter(seen)), 3), jnp.float32),
                 )
                 s_t_aval = {
                     l: jax.ShapeDtypeStruct(g.shape, jnp.float32)
@@ -395,11 +400,7 @@ class StyleTransfer:
                     if cfg.avg_decay > 0
                     else jax.ShapeDtypeStruct((1, 1, 1, 3), jnp.float32)
                 )
-                ns = {min(cfg.chunk_size, scale.iterations)}
-                rem = scale.iterations % cfg.chunk_size
-                if 0 < rem < min(cfg.chunk_size, scale.iterations):
-                    ns.add(rem)
-                for n in sorted(ns):
+                for n in sorted(set(chunk_lengths(scale.iterations, cfg.chunk_size))):
                     steps.append(
                         lambda n=n: run_chunk.lower(
                             params_aval, img_aval, ema_aval, opt_aval, c_t_aval,
@@ -416,8 +417,6 @@ class StyleTransfer:
             # return/exception would leave the process hanging on in-flight
             # multi-minute XLA compiles. Daemon threads die with the process;
             # the cancel event stops them between compile steps.
-            import threading
-
             warm_cancel = threading.Event()
             warm_pool = [
                 threading.Thread(
@@ -452,11 +451,9 @@ class StyleTransfer:
                 content_s = upsample(content_t, size=(h, w))
                 c_targets = capture_content(self.params, content_s)
 
-                style_long = max(32, int(round(max(h, w) * cfg.style_scale)))
                 gram_list: Dict[str, list] = {l: [] for l in cfg.style_layers}
                 for st in style_ts:
-                    sh, sw = imgio.scale_size(st.shape[1:3], style_long)
-                    st_s = upsample(st, size=(sh - sh % 2, sw - sw % 2))
+                    st_s = upsample(st, size=_style_size(st.shape[1:3], (h, w), cfg.style_scale))
                     grams = capture_style(self.params, st_s)
                     for l in cfg.style_layers:
                         gram_list[l].append(grams[l])

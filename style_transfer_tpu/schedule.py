@@ -62,6 +62,17 @@ def scale_ladder(
     return out
 
 
+def chunk_lengths(iterations: int, chunk_size: int) -> List[int]:
+    """The static scan lengths a scale's chunked loop will request:
+    ``chunk_size`` repeated, plus the remainder. Shared by the optimize loop,
+    the background compile warmer, and the bench warm pass so they always
+    agree on which (shape, n) programs exist."""
+    if iterations <= 0:
+        return []
+    full, rem = divmod(iterations, chunk_size)
+    return [chunk_size] * full + ([rem] if rem else [])
+
+
 def build_plan(
     end_size: Tuple[int, int],
     iterations: Sequence[int],
