@@ -166,3 +166,24 @@ def test_cli_metrics_out(tmp_path, content_style_paths=None):
         rec = json.load(f)
     assert rec["records"] and "its_per_sec" in rec["records"][0]
     assert rec["summary"]["final_loss"] > 0
+
+
+def test_cli_profile_dir(tmp_path):
+    import glob
+
+    import numpy as np
+
+    from style_transfer_tpu.cli import main
+    from style_transfer_tpu.utils.imgio import save_image
+
+    r = np.random.RandomState(0)
+    c, s = str(tmp_path / "c.png"), str(tmp_path / "s.png")
+    save_image(r.rand(32, 32, 3).astype(np.float32), c)
+    save_image(r.rand(32, 32, 3).astype(np.float32), s)
+    prof = str(tmp_path / "trace")
+    rc = main([c, s, "-o", str(tmp_path / "o.png"), "--size", "32",
+               "--min-scale", "32", "--iterations", "2", "--chunk-size", "2",
+               "--random-weights", "--style-layers", "conv1_1",
+               "--profile-dir", prof])
+    assert rc == 0
+    assert glob.glob(prof + "/plugins/profile/*/*.xplane.pb"), "no trace captured"
