@@ -28,17 +28,35 @@ _PAGE = """<!DOCTYPE html>
 <title>style_transfer_tpu</title>
 <style>
   body { background: #111; color: #ddd; font-family: monospace; margin: 2em; }
-  #status { margin-bottom: 1em; white-space: pre; }
-  img { max-width: 95vw; max-height: 85vh; image-rendering: auto;
+  #status { margin-bottom: 0.5em; white-space: pre; }
+  #spark { display: block; margin-bottom: 1em; border: 1px solid #333; }
+  img { max-width: 95vw; max-height: 80vh; image-rendering: auto;
         border: 1px solid #333; }
 </style>
 </head>
 <body>
 <div id="status">connecting…</div>
+<canvas id="spark" width="640" height="80"></canvas>
 <img id="view" alt="in-progress stylization"/>
 <script>
   const status = document.getElementById("status");
   const view = document.getElementById("view");
+  const spark = document.getElementById("spark");
+  const hist = [];
+  function draw() {
+    const ctx = spark.getContext("2d");
+    ctx.clearRect(0, 0, spark.width, spark.height);
+    if (hist.length < 2) return;
+    const logs = hist.map(v => Math.log(Math.max(v, 1e-12)));
+    const lo = Math.min(...logs), hi = Math.max(...logs);
+    ctx.strokeStyle = "#6cf"; ctx.beginPath();
+    logs.forEach((v, i) => {
+      const x = i / (logs.length - 1) * (spark.width - 4) + 2;
+      const y = spark.height - 4 - (hi > lo ? (v - lo) / (hi - lo) : 0.5) * (spark.height - 8);
+      i ? ctx.lineTo(x, y) : ctx.moveTo(x, y);
+    });
+    ctx.stroke();
+  }
   function connect() {
     const ws = new WebSocket(`ws://${location.host}/ws`);
     ws.binaryType = "blob";
@@ -48,7 +66,11 @@ _PAGE = """<!DOCTYPE html>
         status.textContent =
           `scale ${s.scale}/${s.num_scales}  ${s.width}x${s.height}  ` +
           `iter ${s.iteration}/${s.total_iterations}  loss ${s.loss.toPrecision(6)}  ` +
-          `${s.its_per_sec.toFixed(1)} it/s` + (s.done ? "  — done" : "");
+          `(content ${s.content.toPrecision(4)}  style ${s.style.toPrecision(4)}  ` +
+          `tv ${s.tv.toPrecision(4)})  ${s.its_per_sec.toFixed(1)} it/s` +
+          (s.done ? "  — done" : "");
+        hist.push(...(s.loss_curve || [s.loss]));
+        draw();
       } else {
         const url = URL.createObjectURL(ev.data);
         view.onload = () => URL.revokeObjectURL(url);
@@ -165,6 +187,12 @@ class WebMonitor:
                 "iteration": ev.iteration,
                 "total_iterations": ev.total_iterations,
                 "loss": ev.loss,
+                "content": float(ev.losses["content"][-1]),
+                "style": float(ev.losses["style"][-1]),
+                "tv": float(ev.losses["tv"][-1]),
+                # the chunk's full per-iteration total-loss curve feeds the
+                # browser-side sparkline
+                "loss_curve": [float(v) for v in ev.losses["loss"]],
                 "its_per_sec": ev.its_per_sec,
                 "done": ev.done,
             }

@@ -25,7 +25,12 @@ def _event(img, it=5):
         size=img.shape[:2],
         iteration=it,
         total_iterations=10,
-        losses={"loss": np.asarray([1.0])},
+        losses={
+            "loss": np.asarray([1.2, 1.0]),
+            "content": np.asarray([0.5, 0.4]),
+            "style": np.asarray([0.2, 0.1]),
+            "tv": np.asarray([0.05, 0.04]),
+        },
         its_per_sec=3.0,
         get_image=lambda: img,
     )
@@ -77,3 +82,11 @@ def test_websocket_stream(monitor):
     status = json.loads(first)
     assert status["iteration"] == 7 and status["num_scales"] == 2
     assert bytes(second)[:2] == b"\xff\xd8"
+
+
+def test_status_payload_carries_loss_terms(monitor):
+    img = np.random.RandomState(0).rand(8, 8, 3).astype(np.float32)
+    monitor.callback(_event(img))
+    s = json.loads(monitor._status)
+    assert s["loss"] == 1.0 and s["content"] == 0.4 and s["style"] == 0.1
+    assert s["loss_curve"] == [1.2, 1.0]
