@@ -38,3 +38,16 @@ def test_plan_validates():
         build_plan((512, 512), [])
     with pytest.raises(ValueError):
         scale_ladder((512, 512), factor=1.0)
+
+
+def test_chunk_lengths():
+    from style_transfer_tpu.schedule import chunk_lengths
+
+    assert chunk_lengths(100, 25) == [25, 25, 25, 25]
+    assert chunk_lengths(60, 25) == [25, 25, 10]
+    assert chunk_lengths(10, 25) == [10]
+    assert chunk_lengths(25, 25) == [25]
+    assert chunk_lengths(0, 25) == []
+    # invariant: the lengths partition the iteration count
+    for iters in (1, 7, 24, 25, 26, 99, 250):
+        assert sum(chunk_lengths(iters, 25)) == iters
