@@ -156,6 +156,11 @@ class StyleTransfer:
         # compiled executables without limit.
         self._prog_cache: "OrderedDict[str, tuple]" = OrderedDict()
         self._prog_cache_max = 8
+        # (program key, plan shapes) combos already background-warmed this
+        # process: their executables are jit-cached in-process, so spawning
+        # warm threads again (a serving loop) would only burn host CPU
+        # re-lowering programs that are already compiled.
+        self._warmed_keys: set = set()
 
     # ---------------------------------------------------------------- model
 
@@ -190,16 +195,13 @@ class StyleTransfer:
             return pgram.gram_matrix
         return L.gram_matrix
 
-    def _programs(self, cfg: StylizeConfig):
-        """The per-config jitted program set (capture/init/step/upsample).
-
-        Keyed by exactly the fields that shape the traced computation
-        (layers, loss weights, optimizer, fusion/remat choices) — schedule
-        fields like iterations or stop_tol don't retrace, so configs that
-        differ only in scheduling reuse the same jit wrappers and therefore
-        the same compiled executables across stylize() calls.
-        """
-        key = repr(
+    def _prog_key(self, cfg: StylizeConfig) -> str:
+        """Program-cache key: exactly the fields that shape the traced
+        computation (layers, loss weights, optimizer, fusion/remat choices) —
+        schedule fields like iterations or stop_tol don't retrace, so configs
+        that differ only in scheduling reuse the same jit wrappers and
+        therefore the same compiled executables across stylize() calls."""
+        return repr(
             (
                 tuple(cfg.content_layers),
                 tuple(cfg.content_layer_weights or ()),
@@ -214,6 +216,10 @@ class StyleTransfer:
                 cfg.avg_decay,
             )
         )
+
+    def _programs(self, cfg: StylizeConfig):
+        """The per-config jitted program set (capture/init/step/upsample)."""
+        key = self._prog_key(cfg)
         cached = self._prog_cache.get(key)
         if cached is not None:
             self._prog_cache.move_to_end(key)
@@ -350,8 +356,22 @@ class StyleTransfer:
         # the main loop's jit calls, which then deserialize instead of
         # recompiling. Best-effort: any warming failure leaves the normal
         # compile path untouched.
+        warm_key = (
+            self._prog_key(cfg),
+            tuple((s.size, s.iterations) for s in plan),
+            cfg.chunk_size,
+            cfg.style_scale,
+            content_t.shape,
+            tuple(s.shape for s in style_ts),
+        )
         warm_cancel = None
-        if cfg.warm_compile and self.mesh is None and len(plan) > 1:
+        if (
+            cfg.warm_compile
+            and self.mesh is None
+            and len(plan) > 1
+            and warm_key not in self._warmed_keys
+        ):
+            self._warmed_keys.add(warm_key)
             _ensure_compile_cache()
 
             params_aval = jax.tree_util.tree_map(
@@ -521,12 +541,31 @@ class StyleTransfer:
                                 f"{scale.index} ({h}x{w}), iteration {done_iters}"
                             )
 
+                    # Early-stop decision comes BEFORE the callback so the
+                    # final event of an early-stopped run carries done=True
+                    # (snapshot savers and the web UI key off it).
+                    stop_now = False
+                    if cfg.stop_tol > 0:
+                        mean_loss = float(np.mean(losses["loss"]))
+                        if prev_mean is not None:
+                            rel = abs(prev_mean - mean_loss) / max(abs(prev_mean), 1e-12)
+                            stall = stall + 1 if rel < cfg.stop_tol else 0
+                            stop_now = stall >= cfg.stop_patience
+                        prev_mean = mean_loss
+
                     if callback is not None:
                         img_ref, opt_ref = image, opt_state
                         show_ref = ema if averaging else image
                         ema_ref = ema if averaging else None
                         it_ref, sc_ref = done_iters, scale.index
-                        is_last = scale.index == plan[-1].index and done_iters >= scale.iterations
+                        is_last = scale.index == plan[-1].index and (
+                            done_iters >= scale.iterations or stop_now
+                        )
+                        # Async device-side snapshot (dispatch only, no host
+                        # sync): `image`/`ema` are donated to the next chunk,
+                        # so sinks that defer the fetch to another thread
+                        # (web monitor) would otherwise race buffer deletion.
+                        snap = jnp.clip(show_ref[0], 0.0, 1.0)
 
                         def _state(img=img_ref, opt=opt_ref, it=it_ref, sc=sc_ref, em=ema_ref):
                             state = {
@@ -548,22 +587,14 @@ class StyleTransfer:
                                 total_iterations=scale.iterations,
                                 losses=losses,
                                 its_per_sec=n / dt if dt > 0 else float("inf"),
-                                get_image=lambda img=show_ref: np.asarray(
-                                    jnp.clip(jax.device_get(img)[0], 0.0, 1.0)
-                                ),
+                                get_image=lambda s=snap: np.asarray(jax.device_get(s)),
                                 done=is_last,
                                 get_state=_state,
                             )
                         )
 
-                    if cfg.stop_tol > 0:
-                        mean_loss = float(np.mean(losses["loss"]))
-                        if prev_mean is not None:
-                            rel = abs(prev_mean - mean_loss) / max(abs(prev_mean), 1e-12)
-                            stall = stall + 1 if rel < cfg.stop_tol else 0
-                            if stall >= cfg.stop_patience:
-                                break
-                        prev_mean = mean_loss
+                    if stop_now:
+                        break
 
             result = ema if cfg.avg_decay > 0 else image
             final = np.asarray(jax.device_get(result))[0]
@@ -593,16 +624,30 @@ def _ensure_compile_cache() -> None:
     The cache both de-duplicates compiles across processes (bench reruns,
     CLI invocations) and is the hand-over channel for the background
     compile pipeline in :meth:`StyleTransfer.stylize`.
+
+    JAX deserializes and runs executables from this directory, so it must be
+    private to the user: a world-writable shared path (e.g. /tmp) would let
+    another local user pre-seed poisoned executables. Use a 0700 per-user
+    cache dir and refuse directories we don't own.
     """
     import os
-    import tempfile
 
     try:
-        if jax.config.jax_compilation_cache_dir is None:
-            jax.config.update(
-                "jax_compilation_cache_dir",
-                os.path.join(tempfile.gettempdir(), "style_transfer_tpu-xla-cache"),
-            )
+        if jax.config.jax_compilation_cache_dir is not None:
+            return
+        base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+            os.path.expanduser("~"), ".cache"
+        )
+        path = os.path.join(base, "style_transfer_tpu", "xla")
+        os.makedirs(path, mode=0o700, exist_ok=True)
+        if os.stat(path).st_uid != os.getuid():
+            return
+        os.chmod(path, 0o700)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # Cache even fast compiles (default threshold is 1s): programs that
+        # lower quickly must still land in the cache or the warm-compile
+        # hand-over silently misses them.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     except Exception:
         pass
 

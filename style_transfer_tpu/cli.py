@@ -122,6 +122,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace into this directory")
     g.add_argument("--checkpoint-dir", default=None,
                    help="periodically checkpoint {image, opt state, schedule position}")
+    g.add_argument("--checkpoint-every", type=int, default=200,
+                   help="iterations between checkpoints (with --checkpoint-dir)")
     g.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --checkpoint-dir")
     g.add_argument("--debug-nans", action="store_true",
@@ -276,7 +278,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.checkpoint_dir:
         from style_transfer_tpu.utils.ckpt import CheckpointManager
 
-        ckpt = CheckpointManager(args.checkpoint_dir)
+        ckpt = CheckpointManager(args.checkpoint_dir, every=args.checkpoint_every)
         callbacks.append(ckpt.callback)
 
     profile_ctx = None

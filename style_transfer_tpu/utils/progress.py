@@ -30,10 +30,14 @@ class ProgressEvent:
     losses: Dict[str, np.ndarray]  # per-iteration loss terms for this chunk
     its_per_sec: float
     # Lazily fetches the current image as float RGB (H, W, 3) in [0, 1].
+    # Backed by a private (non-donated) device snapshot, so it is safe to
+    # call from any thread, even after later chunks have run.
     get_image: Callable[[], np.ndarray]
     done: bool = False  # last event of the whole run
     # Lazily fetches the full resumable state (image, optimizer state leaves,
-    # schedule position) for checkpointing; None when unavailable.
+    # schedule position) for checkpointing; None when unavailable. Unlike
+    # get_image this reads donated buffers — call it synchronously inside the
+    # callback, before the next chunk runs.
     get_state: Optional[Callable[[], dict]] = None
 
     @property

@@ -42,13 +42,15 @@ _PAGE = """<!DOCTYPE html>
   const status = document.getElementById("status");
   const view = document.getElementById("view");
   const spark = document.getElementById("spark");
-  const hist = [];
+  const hist = [];           // sliding window: spread-based min/max throws
+  const HIST_MAX = 2000;     // past ~100k args, and tab memory is bounded
   function draw() {
     const ctx = spark.getContext("2d");
     ctx.clearRect(0, 0, spark.width, spark.height);
     if (hist.length < 2) return;
     const logs = hist.map(v => Math.log(Math.max(v, 1e-12)));
-    const lo = Math.min(...logs), hi = Math.max(...logs);
+    let lo = Infinity, hi = -Infinity;
+    for (const v of logs) { if (v < lo) lo = v; if (v > hi) hi = v; }
     ctx.strokeStyle = "#6cf"; ctx.beginPath();
     logs.forEach((v, i) => {
       const x = i / (logs.length - 1) * (spark.width - 4) + 2;
@@ -69,7 +71,8 @@ _PAGE = """<!DOCTYPE html>
           `(content ${s.content.toPrecision(4)}  style ${s.style.toPrecision(4)}  ` +
           `tv ${s.tv.toPrecision(4)})  ${s.its_per_sec.toFixed(1)} it/s` +
           (s.done ? "  — done" : "");
-        hist.push(...(s.loss_curve || [s.loss]));
+        for (const v of (s.loss_curve || [s.loss])) hist.push(v);
+        if (hist.length > HIST_MAX) hist.splice(0, hist.length - HIST_MAX);
         draw();
       } else {
         const url = URL.createObjectURL(ev.data);
@@ -98,6 +101,7 @@ class WebMonitor:
         self._sockets: Set[aioweb.WebSocketResponse] = set()
         self._frame: Optional[bytes] = None  # latest encoded JPEG
         self._status: Optional[str] = None  # latest status JSON
+        self._pending = None  # latest unencoded (get_image, status) slot
 
     # ------------------------------------------------------------ lifecycle
 
@@ -175,10 +179,16 @@ class WebMonitor:
     # ------------------------------------------------------------- callback
 
     def callback(self, ev: ProgressEvent) -> None:
-        """Progress sink: encode the frame, publish, return immediately."""
-        self._frame = imgio.encode_image(ev.get_image(), "JPEG", quality=self.jpeg_quality)
+        """Progress sink: publish the latest event, return immediately.
+
+        The device fetch (``ev.get_image()`` — at 4K a ~100 MB transfer) and
+        the JPEG encode happen on the server side, never on the optimize
+        loop's thread; this method only builds the status JSON and swaps a
+        latest-event slot. If encoding falls behind, intermediate frames are
+        dropped (the slot always holds the newest event).
+        """
         h, w = ev.size
-        self._status = json.dumps(
+        status = json.dumps(
             {
                 "scale": ev.scale_index + 1,
                 "num_scales": ev.num_scales,
@@ -197,5 +207,19 @@ class WebMonitor:
                 "done": ev.done,
             }
         )
+        self._pending = (ev.get_image, status)
         if self._loop is not None:
-            asyncio.run_coroutine_threadsafe(self._broadcast(), self._loop)
+            asyncio.run_coroutine_threadsafe(self._publish(), self._loop)
+
+    async def _publish(self) -> None:
+        """Consume the latest-event slot: fetch + encode off-loop, broadcast."""
+        pending, self._pending = self._pending, None
+        if pending is None:
+            return  # a newer publish already consumed the slot
+        get_image, status = pending
+        self._status = status
+        self._frame = await self._loop.run_in_executor(
+            None,
+            lambda: imgio.encode_image(get_image(), "JPEG", quality=self.jpeg_quality),
+        )
+        await self._broadcast()

@@ -254,3 +254,38 @@ def test_iterate_averaging_ema():
     # decay=0 path returns the raw final iterate
     out_raw = st.stylize(content, style, StylizeConfig(**kw))
     np.testing.assert_allclose(out_raw, np.clip(raw_iterates[-1], 0, 1), atol=1e-5)
+
+
+def test_early_stop_final_event_is_done(st, images, tmp_path):
+    """stop_tol termination on the last scale must still emit done=True so
+    snapshot savers and the web UI fire their final action (VERDICT r1 #5)."""
+    from style_transfer_tpu.utils.snapshots import SnapshotSaver
+
+    content, style = images
+    cfg = _small_cfg(iterations=(30,), stop_tol=1.0, stop_patience=2)
+    events = []
+    saver = SnapshotSaver(str(tmp_path / "out.png"), every=1000)  # only done fires
+    out = st.stylize(
+        content, style, cfg, callback=lambda ev: (events.append(ev), saver(ev))
+    )
+    assert events[-1].iteration < 30  # the run really stopped early
+    assert events[-1].done
+    assert (tmp_path / "out_snapshot.png").exists()
+    snap = np.asarray(__import__("PIL.Image", fromlist=["open"]).open(
+        tmp_path / "out_snapshot.png"
+    ), dtype=np.float32) / 255.0
+    np.testing.assert_allclose(snap, out, atol=1.5 / 255)
+
+
+def test_get_image_survives_later_chunks(st, images):
+    """ProgressEvent.get_image is backed by a private device snapshot: calling
+    it after later chunks have donated the live image buffer must still work
+    (the web monitor fetches frames from its server thread)."""
+    content, style = images
+    events = []
+    st.stylize(content, style, _small_cfg(), callback=events.append)
+    first_img = events[0].get_image()  # fetched long after the run finished
+    last_img = events[-1].get_image()
+    assert first_img.shape == last_img.shape == (32, 28, 3)
+    assert np.isfinite(first_img).all()
+    assert not np.array_equal(first_img, last_img)

@@ -187,3 +187,18 @@ def test_cli_profile_dir(tmp_path):
                "--profile-dir", prof])
     assert rc == 0
     assert glob.glob(prof + "/plugins/profile/*/*.xplane.pb"), "no trace captured"
+
+
+def test_cli_checkpoint_every(tmp_path, images):
+    content, style = images
+    ckdir = tmp_path / "ck"
+    rc = main(
+        [content, style, "-o", str(tmp_path / "o.png"),
+         "--checkpoint-dir", str(ckdir), "--checkpoint-every", "2"] + FAST
+    )
+    assert rc == 0
+    steps = sorted(
+        int(p.name.split("_")[1]) for p in ckdir.iterdir() if p.name.startswith("step_")
+    )
+    # FAST runs 4 iterations; every=2 crosses the 2 and 4 boundaries.
+    assert steps == [2, 4]

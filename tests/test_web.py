@@ -36,6 +36,14 @@ def _event(img, it=5):
     )
 
 
+def _wait_for_frame(monitor, timeout=5.0):
+    """Frame encoding is asynchronous (server-side); wait until published."""
+    deadline = time.time() + timeout
+    while monitor._frame is None and time.time() < deadline:
+        time.sleep(0.01)
+    assert monitor._frame is not None, "no frame published within timeout"
+
+
 @pytest.fixture()
 def monitor():
     m = WebMonitor(port=_free_port())
@@ -58,6 +66,7 @@ def test_image_endpoint_404_then_frame(monitor):
 
     img = np.random.RandomState(0).rand(16, 16, 3).astype(np.float32)
     monitor.callback(_event(img))
+    _wait_for_frame(monitor)
     with urllib.request.urlopen(url) as r:
         data = r.read()
     assert data[:2] == b"\xff\xd8"  # JPEG
@@ -70,6 +79,7 @@ def test_websocket_stream(monitor):
 
     img = np.random.RandomState(1).rand(8, 8, 3).astype(np.float32)
     monitor.callback(_event(img, it=7))
+    _wait_for_frame(monitor)
 
     async def client():
         uri = f"ws://127.0.0.1:{monitor.port}/ws"
@@ -87,6 +97,44 @@ def test_websocket_stream(monitor):
 def test_status_payload_carries_loss_terms(monitor):
     img = np.random.RandomState(0).rand(8, 8, 3).astype(np.float32)
     monitor.callback(_event(img))
+    _wait_for_frame(monitor)
     s = json.loads(monitor._status)
     assert s["loss"] == 1.0 and s["content"] == 0.4 and s["style"] == 0.1
     assert s["loss_curve"] == [1.2, 1.0]
+
+
+def test_callback_never_blocks_on_device_fetch(monitor):
+    """The progress callback must not fetch/encode on the caller's (hot-loop)
+    thread: get_image runs on the server side (VERDICT r1 #8)."""
+    import threading
+
+    caller = threading.current_thread()
+    fetch_threads = []
+    img = np.random.RandomState(2).rand(8, 8, 3).astype(np.float32)
+
+    def get_image():
+        fetch_threads.append(threading.current_thread())
+        return img
+
+    ev = _event(img)
+    ev.get_image = get_image
+    monitor.callback(ev)
+    deadline = time.time() + 5
+    while monitor._frame is None and time.time() < deadline:
+        time.sleep(0.01)
+    assert monitor._frame is not None and monitor._frame[:2] == b"\xff\xd8"
+    assert fetch_threads and all(t is not caller for t in fetch_threads)
+
+
+def test_frames_drop_to_latest(monitor):
+    """Back-to-back callbacks collapse to the newest frame (latest-slot)."""
+    imgs = [np.full((8, 8, 3), v, np.float32) for v in (0.1, 0.5, 0.9)]
+    for i, im in enumerate(imgs):
+        monitor.callback(_event(im, it=i + 1))
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        if monitor._status and json.loads(monitor._status)["iteration"] == 3:
+            if monitor._pending is None and monitor._frame is not None:
+                break
+        time.sleep(0.01)
+    assert json.loads(monitor._status)["iteration"] == 3
