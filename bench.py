@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import statistics
 import sys
 import time
 
@@ -24,9 +25,11 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def measure_its_per_sec(st, content, style, size: int, iters: int, cfg_kw) -> float:
+def measure_its_per_sec(st, content, style, size: int, iters: int, cfg_kw):
     """Steady-state optimizer iterations/sec at a fixed size (compile excluded
-    via a warmup chunk)."""
+    via a warmup chunk). Returns ``(median, max)`` over the steady chunks —
+    median is the headline (robust on a shared device); max is informational.
+    """
     from style_transfer_tpu.api import StylizeConfig
 
     rates = []
@@ -39,9 +42,9 @@ def measure_its_per_sec(st, content, style, size: int, iters: int, cfg_kw) -> fl
         **cfg_kw,
     )
     st.stylize(content, style, cfg, callback=cb)
-    # first chunk includes XLA compile; report the best steady chunk
+    # first chunk includes XLA compile; drop it, report steady chunks
     steady = rates[1:] or rates
-    return max(steady)
+    return statistics.median(steady), max(steady)
 
 
 def main(argv=None) -> int:
@@ -93,16 +96,16 @@ def main(argv=None) -> int:
 
     if not args.skip_rates:
         t0 = time.time()
-        extra["its_per_sec_512"] = round(
-            measure_its_per_sec(st, content, style, 512, 120, cfg_kw), 2
-        )
-        log(f"512px: {extra['its_per_sec_512']} it/s ({time.time()-t0:.0f}s)")
+        med, mx = measure_its_per_sec(st, content, style, 512, 120, cfg_kw)
+        extra["its_per_sec_512"] = round(med, 2)
+        extra["its_per_sec_512_max"] = round(mx, 2)
+        log(f"512px: {extra['its_per_sec_512']} it/s median ({time.time()-t0:.0f}s)")
         if not args.quick:
             t0 = time.time()
-            extra["its_per_sec_1024"] = round(
-                measure_its_per_sec(st, content, style, 1024, 60, cfg_kw), 2
-            )
-            log(f"1024px: {extra['its_per_sec_1024']} it/s ({time.time()-t0:.0f}s)")
+            med, mx = measure_its_per_sec(st, content, style, 1024, 60, cfg_kw)
+            extra["its_per_sec_1024"] = round(med, 2)
+            extra["its_per_sec_1024_max"] = round(mx, 2)
+            log(f"1024px: {extra['its_per_sec_1024']} it/s median ({time.time()-t0:.0f}s)")
 
     if args.quick:
         value = extra["its_per_sec_512"]
@@ -148,10 +151,22 @@ def main(argv=None) -> int:
         st.stylize(content, style, warm_cfg)
         log(f"warm pass: {time.time()-t0:.1f}s")
 
+    # Per-scale wall-clock: attribute time between callback events to the
+    # event's scale (the first chunk of a scale absorbs its target capture).
+    scale_seconds: dict = {}
+    last_t = [time.time()]
+
+    def scale_cb(ev):
+        now = time.time()
+        key = f"scale{ev.scale_index}_{ev.size[0]}x{ev.size[1]}"
+        scale_seconds[key] = scale_seconds.get(key, 0.0) + (now - last_t[0])
+        last_t[0] = now
+
     t0 = time.time()
-    st.stylize(content, style, cfg)
+    st.stylize(content, style, cfg, callback=scale_cb)
     wall = time.time() - t0
-    log(f"{args.size}px multi-scale: {wall:.1f}s")
+    extra["per_scale_seconds"] = {k: round(v, 2) for k, v in scale_seconds.items()}
+    log(f"{args.size}px multi-scale: {wall:.1f}s {extra['per_scale_seconds']}")
 
     print(json.dumps({
         "metric": f"wallclock_{args.size}px_multiscale",

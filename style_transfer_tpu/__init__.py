@@ -9,8 +9,10 @@ live web monitor) designed TPU-first on JAX/XLA/Pallas:
 - the whole optimizer step (VGG forward + backward, losses, update) runs as a
   single jitted, donated device computation — no host round-trips in the hot
   loop (SURVEY.md section 1, "TPU-native restatement"),
-- Gram matrices and the loss epilogue have fused Pallas kernels
-  (``ops/pallas``), each checked against the plain-jnp oracle in ``ops/losses``,
+- the native tier is Pallas (``ops/pallas``): a streaming-VMEM Gram kernel
+  with a custom VJP, checked against the plain-jnp oracle in ``ops/losses``;
+  production dispatch per code path is decided by in-context measurement
+  (see ARCHITECTURE.md for the numbers either way),
 - scaling happens by spatial sharding over a ``jax.sharding.Mesh`` with XLA
   collectives over ICI (``parallel/``), replacing the reference's
   multi-process per-GPU layer-split IPC scheme (SURVEY.md section 2 row 10).
