@@ -80,6 +80,14 @@ class StylizeConfig:
     stop_patience: int = 2
 
     use_fused: bool = True  # Pallas Gram kernels (False = plain-XLA oracle path)
+    # Pipeline device chunks: dispatch chunk k+1 before fetching chunk k's
+    # losses, so the device never idles on per-chunk host work (loss fetch
+    # over the transport, callbacks, Python). Semantically identical to the
+    # sequential loop — early stop rolls the speculative chunk back from
+    # device-side copies. None = auto: on, except at resolutions where the
+    # auto-remat memory regime applies (the rollback/get_state copies cost
+    # a few image-sized buffers of HBM headroom).
+    pipeline_chunks: Optional[bool] = None
     # Sanitizer (SURVEY.md section 5): verify every fetched loss term is
     # finite and raise with run coordinates otherwise. Host-side only — the
     # compiled programs are unchanged (combine with --debug-nans for
@@ -110,6 +118,25 @@ class StylizeConfig:
 
 #: Per-device pixel count at which StylizeConfig.remat=None turns itself on.
 REMAT_AUTO_PIXELS = 2560 * 2560
+
+
+@dataclasses.dataclass
+class _PendingChunk:
+    """A dispatched-but-not-yet-processed optimizer chunk (pipelined loop).
+
+    ``loss_seq``/``snap`` are device handles created at dispatch time;
+    ``image``/``ema``/``opt_state`` are attached later — device-side copies
+    of the chunk's outputs, made just before those outputs are donated to
+    the next chunk (or the live handles, for the scale's final chunk).
+    """
+
+    n: int
+    done_iters: int
+    loss_seq: dict
+    snap: Optional[jnp.ndarray]
+    image: Optional[jnp.ndarray] = None
+    ema: Optional[jnp.ndarray] = None
+    opt_state: object = None
 
 
 def _style_size(style_hw, scale_hw, style_scale: float) -> Tuple[int, int]:
@@ -294,7 +321,28 @@ class StyleTransfer:
             out = imgio.resize_image(image, size)
             return mesh_mod.constrain_spatial(out, self.mesh)
 
-        programs = (capture_content, capture_style, init_opt_state, run_chunk, upsample)
+        # Pipelined-loop support (one device dispatch each, not one per
+        # leaf — each eager op is a full round-trip on remote transports):
+        # non-donated jit outputs never alias their inputs, so returning the
+        # arguments yields fresh buffers that survive the next run_chunk's
+        # donation.
+        @jax.jit
+        def copy_full(image, ema, opt_state):
+            show = ema if cfg.avg_decay > 0 else image
+            snap = jnp.clip(show[0], 0.0, 1.0)
+            return snap, image, ema, opt_state
+
+        @jax.jit
+        def copy_rollback(image, ema):
+            return image, ema
+
+        @jax.jit
+        def make_snap(image, ema):
+            show = ema if cfg.avg_decay > 0 else image
+            return jnp.clip(show[0], 0.0, 1.0)
+
+        programs = (capture_content, capture_style, init_opt_state, run_chunk, upsample,
+                    copy_full, copy_rollback, make_snap)
         self._prog_cache[key] = programs
         while len(self._prog_cache) > self._prog_cache_max:
             self._prog_cache.popitem(last=False)
@@ -335,9 +383,8 @@ class StyleTransfer:
         # jitted building blocks — cached per config on the instance, so
         # repeated stylize() calls (a serving loop) reuse traced programs
         # and their compiled executables instead of rebuilding closures.
-        capture_content, capture_style, init_opt_state, run_chunk, upsample = (
-            self._programs(cfg)
-        )
+        (capture_content, capture_style, init_opt_state, run_chunk, upsample,
+         copy_full, copy_rollback, make_snap) = self._programs(cfg)
 
         # ---- the multi-scale loop (SURVEY.md section 3.1 outer loop)
 
@@ -520,54 +567,75 @@ class StyleTransfer:
                     # trivially small so the default path pays nothing.
                     ema = jnp.zeros((1, 1, 1, 3), jnp.float32)
 
-                # ---- per-scale chunked optimize loop
+                # ---- per-scale chunked optimize loop.
+                #
+                # Pipelined (default): chunk k+1 is dispatched *before* chunk
+                # k's losses are fetched, so per-chunk host work (the loss
+                # fetch round-trip, callbacks, Python) overlaps device
+                # compute instead of idling it — measured ~70 ms/chunk of
+                # host overhead over the device transport, i.e. most of the
+                # wall-clock at small scales. Semantics match the sequential
+                # loop exactly: chunk k's pre-donation outputs are kept as
+                # device-side copies, so an early stop decided at chunk k
+                # discards the speculative chunk k+1 and restores k's state,
+                # and ProgressEvent.get_state reads the copies rather than
+                # the donated buffers.
+                n_dev = self.mesh.devices.size if self.mesh is not None else 1
+                pipeline = (
+                    cfg.pipeline_chunks
+                    if cfg.pipeline_chunks is not None
+                    else (h * w // n_dev) < REMAT_AUTO_PIXELS
+                )
+                needs_state = callback is not None
+                needs_rollback = cfg.stop_tol > 0
+
                 prev_mean = None
                 stall = 0
-                while done_iters < scale.iterations:
-                    n = min(cfg.chunk_size, scale.iterations - done_iters)
-                    t0 = time.perf_counter()
-                    image, ema, opt_state, loss_seq = run_chunk(
-                        self.params, image, ema, opt_state, c_targets, s_targets, n=n
-                    )
-                    losses = {k: np.asarray(v) for k, v in jax.device_get(loss_seq).items()}
-                    dt = time.perf_counter() - t0
-                    done_iters += n
+                stop_now = False
+                pending: Optional[_PendingChunk] = None
+                t_prev = 0.0
+
+                def _process(rec: "_PendingChunk") -> bool:
+                    """Fetch a dispatched chunk's losses, run debug checks,
+                    the early-stop decision, and the callback. Returns True
+                    when the run should stop after this chunk."""
+                    nonlocal prev_mean, stall, t_prev
+                    losses = {
+                        k: np.asarray(v) for k, v in jax.device_get(rec.loss_seq).items()
+                    }
+                    now = time.perf_counter()
+                    dt = now - t_prev
+                    t_prev = now
 
                     if cfg.debug_checks:
                         bad = {k: v for k, v in losses.items() if not np.isfinite(v).all()}
                         if bad:
                             raise FloatingPointError(
                                 f"non-finite loss terms {sorted(bad)} at scale "
-                                f"{scale.index} ({h}x{w}), iteration {done_iters}"
+                                f"{scale.index} ({h}x{w}), iteration {rec.done_iters}"
                             )
 
                     # Early-stop decision comes BEFORE the callback so the
                     # final event of an early-stopped run carries done=True
                     # (snapshot savers and the web UI key off it).
-                    stop_now = False
+                    stop = False
                     if cfg.stop_tol > 0:
                         mean_loss = float(np.mean(losses["loss"]))
                         if prev_mean is not None:
                             rel = abs(prev_mean - mean_loss) / max(abs(prev_mean), 1e-12)
                             stall = stall + 1 if rel < cfg.stop_tol else 0
-                            stop_now = stall >= cfg.stop_patience
+                            stop = stall >= cfg.stop_patience
                         prev_mean = mean_loss
 
                     if callback is not None:
-                        img_ref, opt_ref = image, opt_state
-                        show_ref = ema if averaging else image
-                        ema_ref = ema if averaging else None
-                        it_ref, sc_ref = done_iters, scale.index
                         is_last = scale.index == plan[-1].index and (
-                            done_iters >= scale.iterations or stop_now
+                            rec.done_iters >= scale.iterations or stop
                         )
-                        # Async device-side snapshot (dispatch only, no host
-                        # sync): `image`/`ema` are donated to the next chunk,
-                        # so sinks that defer the fetch to another thread
-                        # (web monitor) would otherwise race buffer deletion.
-                        snap = jnp.clip(show_ref[0], 0.0, 1.0)
 
-                        def _state(img=img_ref, opt=opt_ref, it=it_ref, sc=sc_ref, em=ema_ref):
+                        def _state(
+                            img=rec.image, opt=rec.opt_state, it=rec.done_iters,
+                            sc=scale.index, em=rec.ema,
+                        ):
                             state = {
                                 "image": np.asarray(jax.device_get(img)),
                                 "opt_state_leaves": flatten_opt_state(opt),
@@ -583,18 +651,79 @@ class StyleTransfer:
                                 scale_index=scale.index,
                                 num_scales=len(plan),
                                 size=(h, w),
-                                iteration=done_iters,
+                                iteration=rec.done_iters,
                                 total_iterations=scale.iterations,
                                 losses=losses,
-                                its_per_sec=n / dt if dt > 0 else float("inf"),
-                                get_image=lambda s=snap: np.asarray(jax.device_get(s)),
+                                its_per_sec=rec.n / dt if dt > 0 else float("inf"),
+                                get_image=lambda s=rec.snap: np.asarray(jax.device_get(s)),
                                 done=is_last,
                                 get_state=_state,
                             )
                         )
+                    return stop
 
-                    if stop_now:
-                        break
+                while done_iters < scale.iterations:
+                    n = min(cfg.chunk_size, scale.iterations - done_iters)
+                    if pending is not None:
+                        # The current image/ema/opt_state ARE chunk k's
+                        # outputs and are about to be donated to chunk k+1;
+                        # keep device-side copies (plus the [0,1]-clipped
+                        # display snapshot) for k's callback state and the
+                        # early-stop rollback. One batched jit dispatch —
+                        # per-leaf eager copies cost a transport round-trip
+                        # each. Dispatched before the donation below.
+                        if needs_state:
+                            (pending.snap, pending.image, pending.ema,
+                             pending.opt_state) = copy_full(image, ema, opt_state)
+                        elif needs_rollback:
+                            pending.image, pending.ema = copy_rollback(image, ema)
+                    else:
+                        t_prev = time.perf_counter()
+                    image, ema, opt_state, loss_seq = run_chunk(
+                        self.params, image, ema, opt_state, c_targets, s_targets, n=n
+                    )
+                    done_iters += n
+                    rec = _PendingChunk(n=n, done_iters=done_iters, loss_seq=loss_seq, snap=None)
+
+                    if pending is not None and pipeline:
+                        if _process(pending):
+                            # Early stop decided at chunk k: discard the
+                            # speculative chunk k+1 and restore k's state.
+                            image = pending.image
+                            if averaging:
+                                ema = pending.ema
+                            done_iters = pending.done_iters
+                            stop_now = True
+                            pending = None
+                            break
+                        pending = rec
+                    elif pipeline:
+                        pending = rec
+                    else:
+                        # Sequential mode: process immediately; no further
+                        # dispatch happens before the callback, so the live
+                        # (not-yet-donated) handles serve as the state. The
+                        # snapshot still must be a separate device buffer —
+                        # sinks that defer the fetch to another thread (web
+                        # monitor) would otherwise race buffer deletion by
+                        # the next chunk's donation.
+                        if callback is not None:
+                            rec.snap = make_snap(image, ema)
+                        rec.image, rec.opt_state = image, opt_state
+                        rec.ema = ema if averaging else None
+                        stop_now = _process(rec)
+                        if stop_now:
+                            break
+
+                # Drain the last in-flight chunk (pipelined mode). Its stop
+                # decision is moot — the scale is complete either way.
+                if pending is not None:
+                    if callback is not None:
+                        pending.snap = make_snap(image, ema)
+                    pending.image, pending.opt_state = image, opt_state
+                    pending.ema = ema if averaging else None
+                    _process(pending)
+                    pending = None
 
             result = ema if cfg.avg_decay > 0 else image
             final = np.asarray(jax.device_get(result))[0]

@@ -22,20 +22,33 @@ from __future__ import annotations
 
 from typing import Dict, Mapping, Sequence
 
+import jax
 import jax.numpy as jnp
 
 
 def gram_matrix(feat: jnp.ndarray) -> jnp.ndarray:
     """(N, H, W, C) activations -> (C, C) float32 Gram, normalized by H*W*N.
 
-    The einsum lowers to a single MXU contraction with the (huge) spatial axis
-    as the contracting dimension; ``preferred_element_type`` forces fp32
-    accumulation even for bfloat16 activations.
+    The contraction lowers to a single MXU dot with the (huge) flattened
+    spatial axis as the contracting dimension; ``preferred_element_type``
+    forces fp32 accumulation even for bfloat16 activations.
+
+    Lowering note (measured on v5e, 2026-08): expressing this as one einsum
+    over the unflattened activations (``nhwc,nhwd->cd``) — or even as a 2-D
+    self-dot ``sc,sd->cd`` — makes XLA:TPU rewrite the syrk-style
+    self-contraction into a *windowed convolution* (window = H, and
+    pad=H-1 reversed for its transpose), whose layout preferences force
+    ~3.7 GB of relayout copies per 1024px optimizer step (~31% of step
+    time, the round-1 profile's single largest cost). Flattening to (S, C)
+    and putting ``optimization_barrier`` (semantically the identity) on one
+    operand makes the operands distinct, so the rewrite no longer matches
+    and the Gram stays a plain MXU dot. Measured full-step effect:
+    40.0 -> 36.3 ms/it at 1024px, 9.4 -> 8.4 ms/it at 512px.
     """
     n, h, w, c = feat.shape
-    g = jnp.einsum(
-        "nhwc,nhwd->cd", feat, feat, preferred_element_type=jnp.float32
-    )
+    f = feat.reshape(n * h * w, c)
+    fb = jax.lax.optimization_barrier(f)
+    g = jnp.einsum("sc,sd->cd", f, fb, preferred_element_type=jnp.float32)
     return g / jnp.asarray(n * h * w, jnp.float32)
 
 

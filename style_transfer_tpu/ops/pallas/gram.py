@@ -44,13 +44,15 @@ def _tile_m(c: int, itemsize: int) -> int:
 # Channel widths routed to the streaming kernel by gram_matrix. Standalone,
 # the kernel beats XLA's einsum at C=128 (0.64 ms vs 0.93 ms at VGG conv2_1
 # 1024px extents on v5e) and loses at C=64 (1.7 ms vs 0.92 ms, the lane
-# dimension being half-utilized). *In context*, however, pallas_call is an
-# optimization barrier — the producing activation must fully materialize in
-# HBM instead of fusing into the contraction — and the full objective step
-# measured 60.4 ms/it with the C=128 kernel vs 46.2 ms/it pure-XLA at
-# 1024px. XLA's fused einsum is the speed-of-light Gram on this hardware,
-# so the default routes nothing to the kernel; pallas_gram stays available
-# (and unit-tested) for direct use.
+# dimension being half-utilized). *In context* it loses at every width:
+# re-measured in round 2 against the conv-rewrite-free oracle formulation
+# (see ops.losses.gram_matrix), the full 1024px objective step runs
+# 36.3 ms/it with the XLA dot vs 59.2 ms/it dispatching all widths to the
+# kernel and 52.3 ms/it dispatching C=64 only — pallas_call acts as an
+# optimization barrier, so the producing activation materializes in HBM
+# instead of fusing into the contraction. The default therefore routes
+# nothing to the kernel; pallas_gram stays available (and unit-tested) for
+# direct use.
 _PALLAS_CHANNELS: frozenset = frozenset()
 
 
@@ -140,15 +142,15 @@ def gram_matrix(feat: jnp.ndarray) -> jnp.ndarray:
     (N, H, W, C) activations -> (C, C) float32 Gram normalized by N*H*W.
 
     Dispatches per channel width via ``_PALLAS_CHANNELS`` — which is EMPTY
-    by default, because in-context the XLA einsum wins everywhere (see the
+    by default, because in-context the XLA dot wins everywhere (see the
     measurement note on ``_PALLAS_CHANNELS``); every call therefore takes
-    the plain contraction unless that set is changed. The backward of both
-    paths is the same single (M, C) x (C, C) matmul.
+    the oracle contraction (with its conv-rewrite-defeating barrier
+    formulation, see ``ops.losses.gram_matrix``) unless that set is
+    changed. The backward of both paths is the same single
+    (M, C) x (C, C) matmul.
     """
     if feat.shape[-1] in _PALLAS_CHANNELS:
         return pallas_gram(feat)
-    n, h, w, c = feat.shape
-    g = jnp.einsum(
-        "nhwc,nhwd->cd", feat, feat, preferred_element_type=jnp.float32
-    )
-    return g / jnp.asarray(n * h * w, jnp.float32)
+    from style_transfer_tpu.ops import losses
+
+    return losses.gram_matrix(feat)

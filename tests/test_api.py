@@ -289,3 +289,55 @@ def test_get_image_survives_later_chunks(st, images):
     assert first_img.shape == last_img.shape == (32, 28, 3)
     assert np.isfinite(first_img).all()
     assert not np.array_equal(first_img, last_img)
+
+
+def test_pipelined_matches_sequential(st, images):
+    """The pipelined chunk loop (default) must be bit-identical to the
+    sequential loop — same programs in the same order; only host scheduling
+    differs (api.py pipelined optimize loop)."""
+    content, style = images
+    for kw in (
+        {},  # plain multi-chunk
+        {"avg_decay": 0.9},  # EMA carry (rollback copies include ema)
+        {"iterations": (30,), "stop_tol": 0.5, "stop_patience": 1},  # early stop
+    ):
+        seq = st.stylize(content, style, _small_cfg(pipeline_chunks=False, **kw))
+        pipe = st.stylize(content, style, _small_cfg(pipeline_chunks=True, **kw))
+        np.testing.assert_array_equal(seq, pipe)
+
+
+def test_pipelined_event_stream_matches_sequential(st, images):
+    """Event ordering, iteration counts, losses, and done flags are
+    unaffected by pipelining — including the early-stopped final event."""
+    content, style = images
+    cfg_kw = dict(iterations=(30,), stop_tol=0.5, stop_patience=1)
+    runs = {}
+    for pipelined in (False, True):
+        events = []
+        st.stylize(
+            content, style,
+            _small_cfg(pipeline_chunks=pipelined, **cfg_kw),
+            callback=events.append,
+        )
+        runs[pipelined] = events
+    assert len(runs[False]) == len(runs[True])
+    for a, b in zip(runs[False], runs[True]):
+        assert (a.scale_index, a.iteration, a.done) == (b.scale_index, b.iteration, b.done)
+        np.testing.assert_array_equal(a.losses["loss"], b.losses["loss"])
+    assert runs[True][-1].done
+
+
+def test_pipelined_get_state_is_consistent(st, images):
+    """get_state under pipelining reads pre-donation copies: resuming from a
+    mid-run checkpoint must reproduce the uninterrupted run exactly."""
+    content, style = images
+    cfg = _small_cfg(iterations=(9,), chunk_size=3)
+    states = []
+    full = st.stylize(
+        content, style, cfg, callback=lambda ev: states.append(ev.get_state())
+    )
+    assert len(states) == 3
+    mid = states[0]  # after 3 of 9 iterations
+    assert int(mid["iteration"]) == 3
+    resumed = st.stylize(content, style, cfg, resume_state=mid)
+    np.testing.assert_array_equal(full, resumed)
