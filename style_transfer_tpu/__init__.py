@@ -10,9 +10,12 @@ live web monitor) designed TPU-first on JAX/XLA/Pallas:
   single jitted, donated device computation — no host round-trips in the hot
   loop (SURVEY.md section 1, "TPU-native restatement"),
 - the native tier is Pallas (``ops/pallas``): a streaming-VMEM Gram kernel
-  with a custom VJP, checked against the plain-jnp oracle in ``ops/losses``;
-  production dispatch per code path is decided by in-context measurement
-  (see ARCHITECTURE.md for the numbers either way),
+  and fused loss-epilogue kernels (content/style/TV, each producing the
+  loss term and its top-gradient in one pass), all custom-VJP'd and checked
+  against the plain-jnp oracle in ``ops/losses``; production dispatch per
+  code path is decided by in-context measurement — currently the fused TV
+  kernel runs by default on TPU and the rest are opt-in (numbers either
+  way in ARCHITECTURE.md),
 - scaling happens by spatial sharding over a ``jax.sharding.Mesh`` with XLA
   collectives over ICI (``parallel/``), replacing the reference's
   multi-process per-GPU layer-split IPC scheme (SURVEY.md section 2 row 10).

@@ -79,7 +79,11 @@ class StylizeConfig:
     stop_tol: float = 0.0
     stop_patience: int = 2
 
-    use_fused: bool = True  # Pallas Gram kernels (False = plain-XLA oracle path)
+    # Fused Pallas epilogue kernels, dispatched exactly where they measure
+    # faster in context (see StyleTransfer._loss_fns): currently the TV
+    # loss+gradient kernel, on a single TPU device. False = the plain-XLA
+    # oracle objective everywhere.
+    use_fused: bool = True
     # Pipeline device chunks: dispatch chunk k+1 before fetching chunk k's
     # losses, so the device never idles on per-chunk host work (loss fetch
     # over the transport, callbacks, Python). Semantically identical to the
@@ -222,6 +226,24 @@ class StyleTransfer:
             return pgram.gram_matrix
         return L.gram_matrix
 
+    def _loss_fns(self, cfg: StylizeConfig) -> dict:
+        """Fused-epilogue dispatch into :func:`ops.losses.objective_terms`.
+
+        Routes exactly the kernels that measured faster in context
+        (ops/pallas/epilogue.py; numbers in ARCHITECTURE.md): currently the
+        fused TV loss+gradient kernel (36.28 -> 36.00 ms/it at 1024px,
+        8.44 -> 8.34 at 512px). The fused content/style epilogues measured
+        *slower* in context (61 ms/it at 1024px — pallas_call is an
+        optimization barrier around the conv4_2 producer) and stay opt-in
+        API. Pallas kernels don't SPMD-partition, so sharded meshes and
+        non-TPU backends take the oracle path.
+        """
+        if cfg.use_fused and self.mesh is None and jax.default_backend() == "tpu":
+            from style_transfer_tpu.ops.pallas import epilogue as ep
+
+            return {"tv_loss_fn": ep.tv_loss}
+        return {}
+
     def _prog_key(self, cfg: StylizeConfig) -> str:
         """Program-cache key: exactly the fields that shape the traced
         computation (layers, loss weights, optimizer, fusion/remat choices) —
@@ -256,6 +278,7 @@ class StyleTransfer:
         s_weights = L.normalize_layer_weights(cfg.style_layers, cfg.style_layer_weights)
         all_layers = tuple(dict.fromkeys(list(cfg.content_layers) + list(cfg.style_layers)))
         gram_fn = self._gram_fn(cfg)
+        loss_fns = self._loss_fns(cfg)
 
         @jax.jit
         def capture_content(params, content_img):
@@ -285,6 +308,7 @@ class StyleTransfer:
                 style_weight=cfg.style_weight,
                 tv_weight=cfg.tv_weight,
                 gram_fn=gram_fn,
+                **loss_fns,
             )
             return return_terms["loss"], return_terms
 

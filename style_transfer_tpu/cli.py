@@ -103,7 +103,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--precision", choices=["bf16", "fp32"], default=None,
                    help="activation compute dtype (default: bf16 on TPU)")
     g.add_argument("--unfused", action="store_true",
-                   help="disable Pallas kernels; use the plain-XLA oracle path")
+                   help="disable the fused Pallas epilogue kernels (currently "
+                        "the TV loss+gradient kernel; TPU single-device only) "
+                        "and run the plain-XLA oracle objective everywhere")
     g.add_argument("--remat", choices=["auto", "on", "off"], default="auto",
                    help="recompute the VGG forward in the backward instead of "
                         "storing activations (auto: on at >=2560^2 px/device)")

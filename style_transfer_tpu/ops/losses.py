@@ -112,19 +112,26 @@ def objective_terms(
     style_weight: float,
     tv_weight: float,
     gram_fn=gram_matrix,
+    content_loss_fn=None,
+    style_loss_fn=None,
+    tv_loss_fn=None,
 ) -> Dict[str, jnp.ndarray]:
     """All loss terms from a feature dict. Returns fp32 scalars.
 
-    ``gram_fn`` is injectable so the fused Pallas Gram slots into the same
-    objective (and the oracle path stays runnable via ``--unfused``).
+    ``gram_fn`` and the three ``*_loss_fn`` hooks are injectable so the
+    fused Pallas kernels (``ops/pallas``) slot into the same objective —
+    and the oracle path stays runnable via ``--unfused``.
     """
+    content_loss_fn = content_loss_fn or content_loss
+    style_loss_fn = style_loss_fn or style_loss
+    tv_loss_fn = tv_loss_fn or tv_loss
     c_loss = jnp.asarray(0.0, jnp.float32)
     for layer, w in content_layer_weights.items():
-        c_loss = c_loss + w * content_loss(feats[layer], content_targets[layer])
+        c_loss = c_loss + w * content_loss_fn(feats[layer], content_targets[layer])
     s_loss = jnp.asarray(0.0, jnp.float32)
     for layer, w in style_layer_weights.items():
-        s_loss = s_loss + w * style_loss(gram_fn(feats[layer]), style_targets[layer])
-    t_loss = tv_loss(image)
+        s_loss = s_loss + w * style_loss_fn(gram_fn(feats[layer]), style_targets[layer])
+    t_loss = tv_loss_fn(image)
     total = content_weight * c_loss + style_weight * s_loss + tv_weight * t_loss
     return {
         "loss": total,

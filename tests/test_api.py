@@ -135,11 +135,23 @@ def test_custom_layer_weights(st, images):
     assert np.isfinite(out).all()
 
 
-def test_fused_gram_path_end_to_end(st, images):
-    """use_fused=True routes Grams through the Pallas kernel (interpret on CPU)."""
+def test_fused_epilogue_end_to_end(st, images, monkeypatch):
+    """The fused-epilogue dispatch (use_fused=True on a TPU) must reproduce
+    the oracle stylization. Off-TPU the dispatch is a no-op, so force it —
+    the kernels run in Pallas interpreter mode — and compare full runs."""
+    from style_transfer_tpu.ops.pallas import epilogue as ep
+
     content, style = images
-    out_fused = st.stylize(content, style, _small_cfg(use_fused=True, iterations=(3,)))
-    out_oracle = st.stylize(content, style, _small_cfg(use_fused=False, iterations=(3,)))
+    monkeypatch.setattr(
+        type(st), "_loss_fns", lambda self, cfg: (
+            {"tv_loss_fn": ep.tv_loss, "content_loss_fn": ep.content_loss,
+             "style_loss_fn": ep.style_loss}
+            if cfg.use_fused else {}
+        ),
+    )
+    st2 = type(st)()  # fresh program cache (st's cache predates the patch)
+    out_fused = st2.stylize(content, style, _small_cfg(use_fused=True, iterations=(3,)))
+    out_oracle = st2.stylize(content, style, _small_cfg(use_fused=False, iterations=(3,)))
     np.testing.assert_allclose(out_fused, out_oracle, rtol=1e-4, atol=1e-5)
 
 
