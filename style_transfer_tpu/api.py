@@ -84,6 +84,14 @@ class StylizeConfig:
     # loss+gradient kernel, on a single TPU device. False = the plain-XLA
     # oracle objective everywhere.
     use_fused: bool = True
+    # EXPERIMENTAL: run VGG block 1 through the fused Pallas kernel
+    # (ops/pallas/block1.py — conv1_2+ReLU+avg-pool+conv1_1-Gram in one
+    # pass). The kernel wins 2x standalone but XLA's layout assignment
+    # reorganizes the neighbouring convs around the custom call's forced
+    # row-major layouts and gives the win back in the full step (numbers
+    # in ARCHITECTURE.md), so it is OFF by default; structural eligibility
+    # (average pooling, no block-1 feature losses) still applies.
+    fused_block1: bool = False
     # Pipeline device chunks: dispatch chunk k+1 before fetching chunk k's
     # losses, so the device never idles on per-chunk host work (loss fetch
     # over the transport, callbacks, Python). Semantically identical to the
@@ -244,6 +252,29 @@ class StyleTransfer:
             return {"tv_loss_fn": ep.tv_loss}
         return {}
 
+    def _block1_eligible(self, cfg: StylizeConfig) -> bool:
+        """Whether the fused block-1 kernel (ops/pallas/block1.py) can carry
+        the objective's first block: explicitly opted in (it measured
+        slower in the full step — ARCHITECTURE.md), average pooling, no
+        block-1 activation demanded beyond conv1_1's Gram, at least one
+        deeper layer to feed, single device (Pallas doesn't
+        SPMD-partition; off-TPU it runs in interpreter mode for tests)."""
+        if not (cfg.fused_block1 and cfg.use_fused and self.mesh is None):
+            return False
+        if self.pooling != "average":
+            return False
+        b1 = {"conv1_1", "conv1_2", "pool1"}
+        if set(cfg.content_layers) & b1:
+            return False
+        if set(cfg.style_layers) & (b1 - {"conv1_1"}):
+            return False
+        deeper = [
+            l
+            for l in list(cfg.content_layers) + list(cfg.style_layers)
+            if l not in b1
+        ]
+        return bool(deeper)
+
     def _prog_key(self, cfg: StylizeConfig) -> str:
         """Program-cache key: exactly the fields that shape the traced
         computation (layers, loss weights, optimizer, fusion/remat choices) —
@@ -261,6 +292,7 @@ class StyleTransfer:
                 cfg.tv_weight,
                 cfg.optimizer,
                 cfg.use_fused,
+                cfg.fused_block1,
                 cfg.remat,
                 cfg.avg_decay,
             )
@@ -289,6 +321,8 @@ class StyleTransfer:
             feats = self._features(params, style_img, tuple(cfg.style_layers))
             return {k: gram_fn(v) for k, v in feats.items()}
 
+        fused_b1 = self._block1_eligible(cfg)
+
         def objective(params, image, c_targets, s_targets):
             image = mesh_mod.constrain_spatial(image, self.mesh)
             n_dev = self.mesh.devices.size if self.mesh is not None else 1
@@ -296,9 +330,42 @@ class StyleTransfer:
             use_remat = bool(
                 cfg.remat or (cfg.remat is None and pixels >= REMAT_AUTO_PIXELS)
             )
-            feats = self._features(params, image, all_layers, remat=use_remat)
+            gram_overrides = None
+            if fused_b1 and image.shape[1] % 2 == 0 and image.shape[2] % 2 == 0:
+                # Fused block 1: conv1_1 stays an XLA conv; everything from
+                # its activation to pool1 — conv1_2+ReLU+avg-pool and the
+                # conv1_1 Gram — runs in one Pallas pass, so no block-1
+                # activation (or its gradient) ever round-trips through HBM
+                # relayouts (ops/pallas/block1.py, ARCHITECTURE.md).
+                from style_transfer_tpu.ops.pallas import block1 as B1
+
+                x = imgio.preprocess(image, self.mean, self.std)
+                if self.compute_dtype is not None:
+                    x = x.astype(self.compute_dtype)
+                p1 = params["conv1_1"]
+                r1 = jax.nn.relu(vgg_mod._conv(x, p1["kernel"], p1["bias"]))
+                pool1, g1 = B1.block1_tail(
+                    r1, params["conv1_2"]["kernel"], params["conv1_2"]["bias"]
+                )
+                deeper = tuple(l for l in all_layers if l != "conv1_1")
+                feats = vgg_mod.extract_features(
+                    params,
+                    pool1,
+                    deeper,
+                    pooling=self.pooling,
+                    compute_dtype=None,
+                    shard_divisor=None,
+                    arch=self.arch,
+                    remat=use_remat,
+                    start_block=2,
+                )
+                if "conv1_1" in s_weights:
+                    gram_overrides = {"conv1_1": g1}
+            else:
+                feats = self._features(params, image, all_layers, remat=use_remat)
             return_terms = L.objective_terms(
                 feats,
+                gram_overrides=gram_overrides,
                 content_targets=c_targets,
                 style_targets=s_targets,
                 content_layer_weights=c_weights,

@@ -210,9 +210,16 @@ def extract_features(
     shard_divisor: Optional[int] = 8,
     arch: str = DEFAULT_ARCH,
     remat: bool = False,
+    start_block: int = 1,
 ) -> Dict[str, jnp.ndarray]:
     """Run a VGG variant on preprocessed NHWC input, returning requested
     activations.
+
+    ``start_block > 1`` treats ``x`` as the pooled output of block
+    ``start_block - 1`` and runs only the remaining blocks — the entry
+    point for fused front-block kernels (``ops/pallas/block1.py``), which
+    hand over the pool output and take responsibility for every earlier
+    activation.
 
     Truncates the forward at the deepest requested layer. Activations are
     returned in ``compute_dtype`` (callers' losses upcast where fp32
@@ -242,6 +249,8 @@ def extract_features(
 
     feats: Dict[str, jnp.ndarray] = {}
     for b, n, _ in blocks(arch):
+        if b < start_block:
+            continue
         names = [f"conv{b}_{i}" for i in range(1, n + 1)]
         pool_name = f"pool{b}"
         block_stop = stop if (stop in names or stop == pool_name) else None

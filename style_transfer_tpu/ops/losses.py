@@ -20,7 +20,7 @@ NumPy on the host (SURVEY.md section 2 rows 6/7/9, reconstructed).
 
 from __future__ import annotations
 
-from typing import Dict, Mapping, Sequence
+from typing import Dict, Mapping, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -115,22 +115,30 @@ def objective_terms(
     content_loss_fn=None,
     style_loss_fn=None,
     tv_loss_fn=None,
+    gram_overrides: Optional[Mapping[str, jnp.ndarray]] = None,
 ) -> Dict[str, jnp.ndarray]:
     """All loss terms from a feature dict. Returns fp32 scalars.
 
     ``gram_fn`` and the three ``*_loss_fn`` hooks are injectable so the
     fused Pallas kernels (``ops/pallas``) slot into the same objective —
     and the oracle path stays runnable via ``--unfused``.
+    ``gram_overrides`` supplies already-computed Grams for layers whose
+    activations never materialize (the fused block-1 kernel accumulates
+    conv1_1's Gram in-pass); those layers need no entry in ``feats``.
     """
     content_loss_fn = content_loss_fn or content_loss
     style_loss_fn = style_loss_fn or style_loss
     tv_loss_fn = tv_loss_fn or tv_loss
+    gram_overrides = gram_overrides or {}
     c_loss = jnp.asarray(0.0, jnp.float32)
     for layer, w in content_layer_weights.items():
         c_loss = c_loss + w * content_loss_fn(feats[layer], content_targets[layer])
     s_loss = jnp.asarray(0.0, jnp.float32)
     for layer, w in style_layer_weights.items():
-        s_loss = s_loss + w * style_loss_fn(gram_fn(feats[layer]), style_targets[layer])
+        g = gram_overrides.get(layer)
+        if g is None:
+            g = gram_fn(feats[layer])
+        s_loss = s_loss + w * style_loss_fn(g, style_targets[layer])
     t_loss = tv_loss_fn(image)
     total = content_weight * c_loss + style_weight * s_loss + tv_weight * t_loss
     return {

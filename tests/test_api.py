@@ -353,3 +353,17 @@ def test_pipelined_get_state_is_consistent(st, images):
     assert int(mid["iteration"]) == 3
     resumed = st.stylize(content, style, cfg, resume_state=mid)
     np.testing.assert_array_equal(full, resumed)
+
+
+def test_fused_block1_end_to_end(st, images):
+    """fused_block1=True (opt-in; interpret mode off-TPU) must reproduce the
+    oracle stylization through the full API at tolerance."""
+    content, style = images
+    cfg_kw = dict(
+        iterations=(4,),
+        content_layers=("conv3_1",),
+        style_layers=("conv1_1", "conv2_1"),
+    )
+    out_fused = st.stylize(content, style, _small_cfg(fused_block1=True, use_fused=True, **cfg_kw))
+    out_oracle = st.stylize(content, style, _small_cfg(fused_block1=False, **cfg_kw))
+    np.testing.assert_allclose(out_fused, out_oracle, rtol=1e-3, atol=1e-4)
