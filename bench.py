@@ -61,12 +61,12 @@ def main(argv=None) -> int:
 
     import jax
 
-    # Persistent compilation cache: repeat bench runs skip recompiles.
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/st_tpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # Persistent compilation cache (repeat bench runs skip recompiles) —
+    # the library's hardened per-user 0700 path, NOT a world-writable /tmp
+    # dir another local user could pre-seed with poisoned executables.
+    from style_transfer_tpu.api import _ensure_compile_cache
+
+    _ensure_compile_cache()
 
     import numpy as np
 

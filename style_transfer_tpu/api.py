@@ -198,8 +198,11 @@ class StyleTransfer:
         # (program key, plan shapes) combos already background-warmed this
         # process: their executables are jit-cached in-process, so spawning
         # warm threads again (a serving loop) would only burn host CPU
-        # re-lowering programs that are already compiled.
-        self._warmed_keys: set = set()
+        # re-lowering programs that are already compiled. Bounded FIFO (a
+        # serving loop sees unbounded distinct shapes); a run that fails
+        # mid-way removes its key again so a retry re-warms.
+        self._warmed_keys: "OrderedDict[tuple, bool]" = OrderedDict()
+        self._warmed_keys_max = 64
 
     # ---------------------------------------------------------------- model
 
@@ -331,7 +334,16 @@ class StyleTransfer:
                 cfg.remat or (cfg.remat is None and pixels >= REMAT_AUTO_PIXELS)
             )
             gram_overrides = None
-            if fused_b1 and image.shape[1] % 2 == 0 and image.shape[2] % 2 == 0:
+            # fused block 1 additionally gates on the traced shape: even
+            # extents, and W <= 1024 — the Mosaic toolchain crashes
+            # compiling the kernel at W=2048 (ARCHITECTURE.md), so larger
+            # scales of a multi-scale ladder fall back to the XLA path.
+            if (
+                fused_b1
+                and image.shape[1] % 2 == 0
+                and image.shape[2] % 2 == 0
+                and image.shape[2] <= 1024
+            ):
                 # Fused block 1: conv1_1 stays an XLA conv; everything from
                 # its activation to pool1 — conv1_2+ReLU+avg-pool and the
                 # conv1_1 Gram — runs in one Pallas pass, so no block-1
@@ -509,7 +521,10 @@ class StyleTransfer:
             and len(plan) > 1
             and warm_key not in self._warmed_keys
         ):
-            self._warmed_keys.add(warm_key)
+            self._warmed_keys[warm_key] = True
+            # FIFO eviction only re-enables a redundant warm, never breaks one
+            while len(self._warmed_keys) > self._warmed_keys_max:
+                self._warmed_keys.popitem(last=False)
             _ensure_compile_cache()
 
             params_aval = jax.tree_util.tree_map(
@@ -588,6 +603,7 @@ class StyleTransfer:
             for t in warm_pool:
                 t.start()
 
+        completed_ok = False
         try:
             # --resume: skip completed scales, restore image + optimizer state
             # (SURVEY.md section 5, checkpoint/resume).
@@ -682,7 +698,6 @@ class StyleTransfer:
 
                 prev_mean = None
                 stall = 0
-                stop_now = False
                 pending: Optional[_PendingChunk] = None
                 t_prev = 0.0
 
@@ -764,10 +779,15 @@ class StyleTransfer:
                         # per-leaf eager copies cost a transport round-trip
                         # each. Dispatched before the donation below.
                         if needs_state:
-                            (pending.snap, pending.image, pending.ema,
+                            (pending.snap, pending.image, ema_copy,
                              pending.opt_state) = copy_full(image, ema, opt_state)
+                            # without averaging, ema is the dummy (1,1,1,3)
+                            # carry — keep it out of checkpoint state (the
+                            # sequential/drain paths store None too)
+                            pending.ema = ema_copy if averaging else None
                         elif needs_rollback:
-                            pending.image, pending.ema = copy_rollback(image, ema)
+                            pending.image, ema_copy = copy_rollback(image, ema)
+                            pending.ema = ema_copy if averaging else None
                     else:
                         t_prev = time.perf_counter()
                     image, ema, opt_state, loss_seq = run_chunk(
@@ -784,7 +804,6 @@ class StyleTransfer:
                             if averaging:
                                 ema = pending.ema
                             done_iters = pending.done_iters
-                            stop_now = True
                             pending = None
                             break
                         pending = rec
@@ -802,8 +821,7 @@ class StyleTransfer:
                             rec.snap = make_snap(image, ema)
                         rec.image, rec.opt_state = image, opt_state
                         rec.ema = ema if averaging else None
-                        stop_now = _process(rec)
-                        if stop_now:
+                        if _process(rec):
                             break
 
                 # Drain the last in-flight chunk (pipelined mode). Its stop
@@ -818,10 +836,15 @@ class StyleTransfer:
 
             result = ema if cfg.avg_decay > 0 else image
             final = np.asarray(jax.device_get(result))[0]
+            completed_ok = True
             return np.clip(final, 0.0, 1.0)
         finally:
             if warm_cancel is not None:
                 warm_cancel.set()
+                if not completed_ok:
+                    # the cancel aborts warm threads between compile steps;
+                    # un-mark the key so a retry warms the missing scales
+                    self._warmed_keys.pop(warm_key, None)
 
     # ---------------------------------------------------------------- misc
 

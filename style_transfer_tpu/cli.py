@@ -109,6 +109,14 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--remat", choices=["auto", "on", "off"], default="auto",
                    help="recompute the VGG forward in the backward instead of "
                         "storing activations (auto: on at >=2560^2 px/device)")
+    g.add_argument("--no-pipeline", action="store_true",
+                   help="process chunks sequentially instead of dispatching "
+                        "one chunk ahead (bit-identical results; only host "
+                        "scheduling differs)")
+    g.add_argument("--fused-block1", action="store_true",
+                   help="EXPERIMENTAL: run VGG block 1 through the fused "
+                        "Pallas kernel (measured slower in the full step on "
+                        "v5e — see ARCHITECTURE.md)")
     g.add_argument("--chunk-size", type=int, default=50,
                    help="optimizer steps per device dispatch / host sync")
     g.add_argument("--print-every", type=int, default=25)
@@ -117,6 +125,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--web", action="store_true", help="serve a live progress page")
     g.add_argument("--port", type=int, default=8080, help="web monitor port")
     g.add_argument("--host", default="127.0.0.1", help="web monitor bind host")
+    g.add_argument("--browser", action="store_true",
+                   help="open the live progress page in the default browser "
+                        "(implies --web)")
     g.add_argument("--snapshot-every", type=int, default=0,
                    help="save the in-progress image every N iterations (0 off)")
     g.add_argument("--metrics-out", default=None, help="write run metrics JSON here")
@@ -255,6 +266,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         stop_tol=args.stop_tol,
         stop_patience=args.stop_patience,
         use_fused=not args.unfused,
+        fused_block1=args.fused_block1,
+        pipeline_chunks=False if args.no_pipeline else None,
         debug_checks=args.debug_checks,
         remat={"auto": None, "on": True, "off": False}[args.remat],
     )
@@ -268,13 +281,18 @@ def main(argv: Optional[List[str]] = None) -> int:
         callbacks.append(SnapshotSaver(args.output, every=args.snapshot_every))
 
     web_server = None
-    if args.web:
+    if args.web or args.browser:
         from style_transfer_tpu.web import WebMonitor
 
         web_server = WebMonitor(host=args.host, port=args.port)
         web_server.start()
         callbacks.append(web_server.callback)
-        print(f"live view: http://{args.host}:{args.port}/", flush=True)
+        url = f"http://{args.host}:{args.port}/"
+        print(f"live view: {url}", flush=True)
+        if args.browser:
+            import webbrowser
+
+            webbrowser.open(url)
 
     ckpt = None
     if args.checkpoint_dir:

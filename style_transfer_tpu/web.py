@@ -102,6 +102,10 @@ class WebMonitor:
         self._frame: Optional[bytes] = None  # latest encoded JPEG
         self._status: Optional[str] = None  # latest status JSON
         self._pending = None  # latest unencoded (get_image, status) slot
+        self._pending_lock = threading.Lock()  # guards the slot swap
+        self._publishing = False  # single-consumer flag (loop thread only)
+        self._idle = threading.Event()  # set when no publish is in flight
+        self._idle.set()
 
     # ------------------------------------------------------------ lifecycle
 
@@ -113,6 +117,9 @@ class WebMonitor:
 
     def stop(self) -> None:
         if self._loop is not None:
+            # flush the in-flight publish first so the final (done=True)
+            # frame reaches clients before the loop goes down
+            self._idle.wait(timeout=10)
             self._loop.call_soon_threadsafe(self._loop.stop)
         if self._thread is not None:
             self._thread.join(timeout=5)
@@ -207,19 +214,43 @@ class WebMonitor:
                 "done": ev.done,
             }
         )
-        self._pending = (ev.get_image, status)
+        with self._pending_lock:
+            self._pending = (ev.get_image, status)
+            self._idle.clear()
         if self._loop is not None:
             asyncio.run_coroutine_threadsafe(self._publish(), self._loop)
 
     async def _publish(self) -> None:
-        """Consume the latest-event slot: fetch + encode off-loop, broadcast."""
-        pending, self._pending = self._pending, None
-        if pending is None:
-            return  # a newer publish already consumed the slot
-        get_image, status = pending
-        self._status = status
-        self._frame = await self._loop.run_in_executor(
-            None,
-            lambda: imgio.encode_image(get_image(), "JPEG", quality=self.jpeg_quality),
-        )
-        await self._broadcast()
+        """Drain the latest-event slot: fetch + encode off-loop, broadcast.
+
+        Single consumer: only one drain loop runs at a time (the flag is
+        touched on the loop thread only), so frames always publish in event
+        order — a slow encode can never overwrite a newer frame with an
+        older one — and status/frame update together, atomically from the
+        handlers' point of view. The slot swap is locked against the
+        optimize-loop thread's store.
+        """
+        if self._publishing:
+            return  # the active drain will pick the new slot value up
+        self._publishing = True
+        try:
+            while True:
+                with self._pending_lock:
+                    pending, self._pending = self._pending, None
+                if pending is None:
+                    break
+                get_image, status = pending
+                frame = await self._loop.run_in_executor(
+                    None,
+                    lambda: imgio.encode_image(
+                        get_image(), "JPEG", quality=self.jpeg_quality
+                    ),
+                )
+                self._status = status
+                self._frame = frame
+                await self._broadcast()
+        finally:
+            self._publishing = False
+            with self._pending_lock:
+                if self._pending is None:
+                    self._idle.set()
