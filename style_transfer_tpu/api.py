@@ -688,13 +688,20 @@ class StyleTransfer:
                 # and ProgressEvent.get_state reads the copies rather than
                 # the donated buffers.
                 n_dev = self.mesh.devices.size if self.mesh is not None else 1
+                needs_state = callback is not None
+                needs_rollback = cfg.stop_tol > 0
+                # auto: pipeline unless the rollback/get_state copies would
+                # eat HBM headroom in the auto-remat (memory-tight) regime;
+                # with no callback and no early stop there are no copies at
+                # all, so pipelining is free at any size
                 pipeline = (
                     cfg.pipeline_chunks
                     if cfg.pipeline_chunks is not None
-                    else (h * w // n_dev) < REMAT_AUTO_PIXELS
+                    else (
+                        (h * w // n_dev) < REMAT_AUTO_PIXELS
+                        or not (needs_state or needs_rollback)
+                    )
                 )
-                needs_state = callback is not None
-                needs_rollback = cfg.stop_tol > 0
 
                 prev_mean = None
                 stall = 0

@@ -138,3 +138,60 @@ def test_frames_drop_to_latest(monitor):
                 break
         time.sleep(0.01)
     assert json.loads(monitor._status)["iteration"] == 3
+
+
+def test_stop_flushes_final_frame():
+    """stop() right after the last callback must still publish that frame —
+    the done=True event may be in flight when the CLI tears the monitor
+    down (single-consumer drain + idle flush in WebMonitor)."""
+    m = WebMonitor(port=_free_port())
+    m.start()
+    try:
+        img = np.random.RandomState(1).rand(16, 16, 3).astype(np.float32)
+        slow_fetch_done = []
+
+        def slow_get_image():
+            time.sleep(0.3)  # simulate a large device fetch
+            slow_fetch_done.append(True)
+            return img
+
+        ev = _event(img, it=10)
+        ev.get_image = slow_get_image
+        ev.done = True
+        m.callback(ev)
+    finally:
+        m.stop()  # must wait for the in-flight publish, not race it
+    assert slow_fetch_done, "final frame fetch never ran"
+    assert m._frame is not None and m._frame[:2] == b"\xff\xd8"
+    assert json.loads(m._status)["done"] is True
+
+
+def test_out_of_order_encodes_never_regress(monitor):
+    """A newer event always wins the published frame/status even when an
+    older event's image fetch is slower (in-order single-consumer drain)."""
+    imgs = {
+        1: np.zeros((16, 16, 3), np.float32),
+        2: np.ones((16, 16, 3), np.float32),
+    }
+
+    def slow_one():
+        time.sleep(0.25)
+        return imgs[1]
+
+    ev1 = _event(imgs[1], it=1)
+    ev1.get_image = slow_one
+    ev2 = _event(imgs[2], it=2)
+    m = monitor
+    m.callback(ev1)
+    m.callback(ev2)
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        if m._status is not None and json.loads(m._status)["iteration"] == 2 and not m._publishing:
+            break
+        time.sleep(0.02)
+    assert json.loads(m._status)["iteration"] == 2
+    # the final published frame must be event 2's (all-white) image
+    from io import BytesIO
+    from PIL import Image
+    arr = np.asarray(Image.open(BytesIO(m._frame)))
+    assert arr.mean() > 200, f"stale frame published (mean {arr.mean():.1f})"
