@@ -61,12 +61,16 @@ def encode_image(arr, format: str = "JPEG", quality: int = 85) -> bytes:
 
 
 def to_uint8(arr) -> np.ndarray:
-    """Clip a float image in [0, 1] to uint8. Accepts (H, W, 3) or (1, H, W, 3)."""
-    arr = np.asarray(jax.device_get(arr), dtype=np.float32)
+    """Clip a float image in [0, 1] to uint8. Accepts (H, W, 3) or (1, H, W, 3);
+    already-uint8 arrays (stylize(output_dtype="uint8")) pass through."""
+    arr = np.asarray(jax.device_get(arr))
     if arr.ndim == 4:
         if arr.shape[0] != 1:
             raise ValueError(f"expected batch of 1, got shape {arr.shape}")
         arr = arr[0]
+    if arr.dtype == np.uint8:
+        return arr
+    arr = np.asarray(arr, np.float32)
     return (np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
 
 

@@ -367,3 +367,18 @@ def test_fused_block1_end_to_end(st, images):
     out_fused = st.stylize(content, style, _small_cfg(fused_block1=True, use_fused=True, **cfg_kw))
     out_oracle = st.stylize(content, style, _small_cfg(fused_block1=False, **cfg_kw))
     np.testing.assert_allclose(out_fused, out_oracle, rtol=1e-3, atol=1e-4)
+
+
+def test_output_dtype_uint8_matches_float_quantization(st, images):
+    """stylize(output_dtype='uint8') quantizes on device exactly like
+    imgio.to_uint8 applied to the float result."""
+    from style_transfer_tpu.utils.imgio import to_uint8
+
+    content, style = images
+    cfg = _small_cfg(iterations=(4,))
+    out_f = st.stylize(content, style, cfg)
+    out_u = st.stylize(content, style, cfg, output_dtype="uint8")
+    assert out_u.dtype == np.uint8 and out_u.shape == out_f.shape
+    np.testing.assert_array_equal(out_u, to_uint8(out_f))
+    with pytest.raises(ValueError, match="output_dtype"):
+        st.stylize(content, style, cfg, output_dtype="float16")
