@@ -37,6 +37,16 @@ class OptimizerSpec:
     eps: float = 1e-8
     memory_size: int = 10  # L-BFGS history window
     max_linesearch_steps: int = 16
+    # Absolute epsilon on the zoom linesearch's Wolfe conditions. bfloat16
+    # VGG gradients carry O(1e-4) noise in the directional derivatives at
+    # megapixel sizes, below which the strong-Wolfe curvature condition can
+    # never be met exactly — measured at 1024px the search then burns its
+    # full step budget every iteration (591 ms/it vs 36 for Adam;
+    # num_linesearch_steps pinned at 16 with curvature_error ~4e-4). The
+    # classic approximate-Wolfe epsilon absorbs that noise; it only
+    # *relaxes* the conditions, so exact-arithmetic runs (fp32/CPU,
+    # scipy-cross-checked in tests) are unchanged.
+    linesearch_tol: float = 1e-3
 
     def build(self) -> optax.GradientTransformation:
         if self.name == "adam":
@@ -45,7 +55,8 @@ class OptimizerSpec:
             return optax.lbfgs(
                 memory_size=self.memory_size,
                 linesearch=optax.scale_by_zoom_linesearch(
-                    max_linesearch_steps=self.max_linesearch_steps
+                    max_linesearch_steps=self.max_linesearch_steps,
+                    tol=self.linesearch_tol,
                 ),
             )
         raise ValueError(f"unknown optimizer {self.name!r} (expected 'adam' or 'lbfgs')")
