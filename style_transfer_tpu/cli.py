@@ -75,6 +75,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--optimizer", choices=["adam", "lbfgs"], default="adam")
     g.add_argument("--lr", "--learning-rate", dest="lr", type=float, default=0.05)
     g.add_argument("--lbfgs-memory", type=int, default=10)
+    g.add_argument("--linesearch-tol", type=float, default=1e-3,
+                   help="absolute epsilon on the L-BFGS Wolfe conditions "
+                        "(absorbs bf16 gradient noise at megapixel sizes)")
     g.add_argument("--init", default="content",
                    help="'content', 'random', 'mean', or a path to an init image")
     g.add_argument("--seed", type=int, default=0)
@@ -258,7 +261,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         style_blend_weights=args.style_blend_weights,
         style_scale=args.style_scale,
         optimizer=OptimizerSpec(
-            args.optimizer, learning_rate=args.lr, memory_size=args.lbfgs_memory
+            args.optimizer, learning_rate=args.lr, memory_size=args.lbfgs_memory,
+            linesearch_tol=args.linesearch_tol,
         ),
         init=init_mode,
         seed=args.seed,
