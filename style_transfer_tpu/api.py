@@ -132,14 +132,6 @@ class StylizeConfig:
 REMAT_AUTO_PIXELS = 2560 * 2560
 
 
-@jax.jit
-def _quantize_u8(image: jnp.ndarray) -> jnp.ndarray:
-    """(1, H, W, 3) float -> (H, W, 3) uint8, bit-matching imgio.to_uint8
-    (clip to [0,1], *255, +0.5, truncate)."""
-    x = jnp.clip(image[0].astype(jnp.float32), 0.0, 1.0) * 255.0 + 0.5
-    return x.astype(jnp.uint8)
-
-
 @dataclasses.dataclass
 class _PendingChunk:
     """A dispatched-but-not-yet-processed optimizer chunk (pipelined loop).
@@ -279,12 +271,10 @@ class StyleTransfer:
             return False
         if set(cfg.style_layers) & (b1 - {"conv1_1"}):
             return False
-        deeper = [
-            l
-            for l in list(cfg.content_layers) + list(cfg.style_layers)
-            if l not in b1
-        ]
-        return bool(deeper)
+        # at least one deeper layer, so pool1 feeds something
+        return any(
+            l not in b1 for l in list(cfg.content_layers) + list(cfg.style_layers)
+        )
 
     def _prog_key(self, cfg: StylizeConfig) -> str:
         """Program-cache key: exactly the fields that shape the traced
@@ -437,20 +427,19 @@ class StyleTransfer:
         # non-donated jit outputs never alias their inputs, so returning the
         # arguments yields fresh buffers that survive the next run_chunk's
         # donation.
+        def _snap(image, ema):
+            show = ema if cfg.avg_decay > 0 else image
+            return jnp.clip(show[0], 0.0, 1.0)
+
         @jax.jit
         def copy_full(image, ema, opt_state):
-            show = ema if cfg.avg_decay > 0 else image
-            snap = jnp.clip(show[0], 0.0, 1.0)
-            return snap, image, ema, opt_state
+            return _snap(image, ema), image, ema, opt_state
 
         @jax.jit
         def copy_rollback(image, ema):
             return image, ema
 
-        @jax.jit
-        def make_snap(image, ema):
-            show = ema if cfg.avg_decay > 0 else image
-            return jnp.clip(show[0], 0.0, 1.0)
+        make_snap = jax.jit(_snap)
 
         programs = (capture_content, capture_style, init_opt_state, run_chunk, upsample,
                     copy_full, copy_rollback, make_snap)
@@ -858,7 +847,7 @@ class StyleTransfer:
 
             result = ema if cfg.avg_decay > 0 else image
             if output_dtype == "uint8":
-                final = np.asarray(jax.device_get(_quantize_u8(result)))
+                final = np.asarray(jax.device_get(imgio.quantize_u8(result)))
             else:
                 final = np.clip(np.asarray(jax.device_get(result))[0], 0.0, 1.0)
             completed_ok = True

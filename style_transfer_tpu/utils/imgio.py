@@ -74,6 +74,16 @@ def to_uint8(arr) -> np.ndarray:
     return (np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
 
 
+@jax.jit
+def quantize_u8(image: jnp.ndarray) -> jnp.ndarray:
+    """Device-side counterpart of :func:`to_uint8`: (1, H, W, 3) float ->
+    (H, W, 3) uint8 on device, bit-matching the host path (clip to [0,1],
+    *255, +0.5, truncate) — so the result crosses the host link at 1/4 the
+    bytes before an 8-bit file save."""
+    x = jnp.clip(image[0].astype(jnp.float32), 0.0, 1.0) * 255.0 + 0.5
+    return x.astype(jnp.uint8)
+
+
 def to_nhwc(arr) -> jnp.ndarray:
     """(H, W, 3) -> (1, H, W, 3) float32 device array.
 
