@@ -342,20 +342,21 @@ class StyleTransfer:
                 and image.shape[2] % 2 == 0
                 and image.shape[2] <= 1024
             ):
-                # Fused block 1: conv1_1 stays an XLA conv; everything from
-                # its activation to pool1 — conv1_2+ReLU+avg-pool and the
-                # conv1_1 Gram — runs in one Pallas pass, so no block-1
-                # activation (or its gradient) ever round-trips through HBM
-                # relayouts (ops/pallas/block1.py, ARCHITECTURE.md).
+                # Fused block 1: the whole block — conv1_1 (one im2col MXU
+                # contraction), conv1_2, both ReLUs, the 2x2 average pool,
+                # and the conv1_1 Gram — runs in one Pallas pass from the
+                # preprocessed image, so no block-1 activation (or its
+                # gradient) ever round-trips through HBM relayouts
+                # (ops/pallas/block1.py, ARCHITECTURE.md).
                 from style_transfer_tpu.ops.pallas import block1 as B1
 
                 x = imgio.preprocess(image, self.mean, self.std)
                 if self.compute_dtype is not None:
                     x = x.astype(self.compute_dtype)
                 p1 = params["conv1_1"]
-                r1 = jax.nn.relu(vgg_mod._conv(x, p1["kernel"], p1["bias"]))
-                pool1, g1 = B1.block1_tail(
-                    r1, params["conv1_2"]["kernel"], params["conv1_2"]["bias"]
+                pool1, g1 = B1.block1_full(
+                    x, p1["kernel"], p1["bias"],
+                    params["conv1_2"]["kernel"], params["conv1_2"]["bias"],
                 )
                 deeper = tuple(l for l in all_layers if l != "conv1_1")
                 feats = vgg_mod.extract_features(

@@ -330,3 +330,265 @@ def _tail_bwd(res, cts):
 
 
 block1_tail.defvjp(_tail_fwd, _tail_bwd)
+
+
+# --------------------------------------------------------------------------
+# Full-block variant: conv1_1 included, so the kernel's input boundary is
+# the preprocessed IMAGE (12 MB at 1024px) rather than the 134 MB conv1_1
+# activation whose forced layout poisoned the neighbouring convs in the
+# `block1_tail` experiment (ARCHITECTURE.md). conv1_1's tiny C_in=3 would
+# waste the MXU's 128-deep contraction, so it runs as 27 VPU broadcast-FMAs
+# (one per tap x input channel); conv1_2 stays on the MXU.
+# --------------------------------------------------------------------------
+
+
+def _im2col3(x2d: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 3) image -> (H, W, 27) 3x3 SAME patches, (dy, dx, ci) order.
+
+    Runs in XLA (a cheap elementwise producer with no layout opinions), so
+    the kernel's conv1_1 is ONE MXU contraction over 27 — building the
+    patch tensor in-kernel is impossible (Mosaic cannot concatenate 3-lane
+    vectors along the lane dim) and 27 VPU broadcast-FMAs blow VMEM with
+    lane-padded temporaries.
+    """
+    h, w, c = x2d.shape
+    xp = jnp.pad(x2d, ((1, 1), (1, 1), (0, 0)))
+    taps = [
+        jax.lax.slice(xp, (dy, dx, 0), (dy + h, dx + w, c))
+        for dy in range(3)
+        for dx in range(3)
+    ]
+    return jnp.concatenate(taps, axis=2)
+
+
+def _full_fwd_kernel(p_ref, pup_ref, pdown_ref, k1f_ref, b1_ref, k2_ref, b2_ref,
+                     pool_ref, gram_ref, r1_ref, mask2_ref, acc_ref, *, w, true_h):
+    i = pl.program_id(0)
+    nt = pl.num_programs(0)
+    tile = p_ref.shape[0]
+
+    # im2col patches on the extended rows r0-1 .. r0+TILE (1-row halos,
+    # zeroed at the image edges — the patch rows there don't exist)
+    p = p_ref[:]  # (TILE, W, 27)
+    pup = jnp.where(i == 0, 0, pup_ref[0:1])
+    pdown = jnp.where(i == nt - 1, 0, pdown_ref[0:1])
+    pe = jnp.concatenate([pup, p, pdown], axis=0)  # (TILE+2, W, 27)
+
+    r1e = jax.lax.dot_general(
+        pe, k1f_ref[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    r1e = jnp.maximum(r1e + b1_ref[0].astype(jnp.float32), 0.0)
+    # Rows outside the true image must be ZERO r1 (conv1_2's SAME padding,
+    # and no Gram contribution): computing the conv over zero-padded image
+    # rows would instead produce a "virtual" relu(b1 + ...) row there. Ext
+    # row 0 is image row i*tile - 1 (= -1 on the first tile).
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, r1e.shape, 0) + i * tile - 1
+    r1e = jnp.where((row_ids < 0) | (row_ids >= true_h), 0.0, r1e).astype(r1_ref.dtype)
+    r1 = r1e[1:-1]
+    r1_ref[:] = r1  # residual for the backward (and the Gram source)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    pre = _conv_taps(r1e, k2_ref, flip=False, contract_out=False)
+    pre = pre + b2_ref[0].astype(jnp.float32)
+    mask2_ref[:] = (pre > 0.0).astype(mask2_ref.dtype)
+    y = jnp.maximum(pre, 0.0)
+    pool_ref[:] = _pool2x2(y, r1.shape[0], w, y.shape[2]).astype(pool_ref.dtype)
+
+    f = r1.reshape(r1.shape[0] * w, r1.shape[2])
+    acc_ref[:] += jax.lax.dot_general(
+        f, f, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(i == nt - 1)
+    def _():
+        gram_ref[:] = acc_ref[:]
+
+
+def _full_bwd_kernel(r1_ref, m2_ref, m2up_ref, m2down_ref,
+                     dp_ref, dpup_ref, dpdown_ref, k1f_ref, k2_ref, s_ref,
+                     dpt_ref, *, w):
+    """d_patches for one tile: the gated d_r1 (transposed conv1_2 of the
+    mask-gated unpooled cotangent, plus the Gram term, ReLU-gated by r1)
+    contracted with k1f^T in ONE MXU dot — the spatial scatter back to the
+    image (col2im) happens in XLA outside the kernel, so only center rows
+    are needed here (1-row mask2 / pooled-cotangent halos)."""
+    i = pl.program_id(0)
+    nt = pl.num_programs(0)
+
+    r1 = r1_ref[:]  # (TILE, W, 64)
+    rows = r1.shape[0]
+    c = r1.shape[2]
+
+    m2e = jnp.concatenate(
+        [m2up_ref[0:1], m2_ref[:], m2down_ref[0:1]], axis=0
+    )  # (TILE+2, W, 64); edge-halo garbage is matched by zeroed dy2 rows
+
+    dp = dp_ref[:]  # (TILE//2, W, 64), W-duplicated by the caller
+    dp_up = jnp.where(i == 0, 0, dpup_ref[0:1])
+    dp_down = jnp.where(i == nt - 1, 0, dpdown_ref[0:1])
+    dpx = jnp.concatenate([dp_up, dp, dp_down], axis=0)  # (TILE//2+2, W, 64)
+    r2 = dpx.shape[0]
+    dy2 = jnp.broadcast_to(dpx[:, None, :, :], (r2, 2, w, c)).reshape(r2 * 2, w, c)
+    dy2 = dy2[1:-1] * jnp.asarray(0.25, dpx.dtype)  # rows r0-1 .. r0+TILE
+
+    da2 = (dy2 * m2e.astype(dy2.dtype)).astype(r1.dtype)  # (TILE+2, W, 64)
+    dr1 = _conv_taps(da2, k2_ref, flip=True, contract_out=True)  # (TILE, W, 64)
+
+    f = r1.reshape(rows * w, c)
+    g = jax.lax.dot_general(
+        f, s_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).reshape(rows, w, c)
+    # f32 compare: the target has no bf16 vector comparison
+    gate = r1.astype(jnp.float32) > 0.0
+    dpre1 = jnp.where(gate, dr1 + g, 0.0).astype(r1.dtype)  # (TILE, W, 64)
+
+    # conv1_1^T as d_patches = dpre1 @ k1f^T (27 lanes out)
+    dpt_ref[:] = jax.lax.dot_general(
+        dpre1, k1f_ref[:], (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dpt_ref.dtype)
+
+
+def _block1_full_fwd_2d(x, k1, b1, k2, b2, true_h):
+    tile_h = _tile_h(x.shape[1], backward=False)
+    h, w, _ = x.shape
+    c = k1.shape[3]
+    grid = (h // tile_h,)
+    patches = _im2col3(x)  # (H, W, 27), XLA-side
+    pup, pdown = _halo_specs(w, 27, tile_h, h, halo=1)
+    pool, gram, r1, mask2 = pl.pallas_call(
+        functools.partial(_full_fwd_kernel, w=w, true_h=true_h),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_h, w, 27), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pup,
+            pdown,
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # k1
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b1 (1, 64)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # k2
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b2 (1, 64)
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_h // 2, w // 2, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, w, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, w, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((h // 2, w // 2, c), x.dtype),
+            jax.ShapeDtypeStruct((c, c), jnp.float32),
+            jax.ShapeDtypeStruct((h, w, c), x.dtype),
+            jax.ShapeDtypeStruct((h, w, c), jnp.int8),
+        ],
+        scratch_shapes=[pltpu.VMEM((c, c), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * h * w * c * (9 * 3 + 9 * c + c),
+            bytes_accessed=x.size * x.dtype.itemsize
+            + 2 * h * w * c * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(patches, patches, patches, k1.reshape(27, -1).astype(x.dtype),
+      b1.reshape(1, -1), k2.astype(x.dtype), b2.reshape(1, -1))
+    return pool, gram, r1, mask2
+
+
+def _col2im3(dpt: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 27) patch cotangents -> (H, W, 3) image cotangent (XLA-side
+    inverse of :func:`_im2col3`: each tap scatters back shifted)."""
+    h, w, _ = dpt.shape
+    dx = jnp.zeros((h + 2, w + 2, 3), dpt.dtype)
+    for t, (dy, tx) in enumerate((dy, tx) for dy in range(3) for tx in range(3)):
+        comp = jax.lax.slice(dpt, (0, 0, 3 * t), (h, w, 3 * t + 3))
+        dx = jax.lax.dynamic_update_slice(
+            dx, jax.lax.dynamic_slice(dx, (dy, tx, 0), (h, w, 3)) + comp,
+            (dy, tx, 0),
+        )
+    return dx[1:-1, 1:-1]
+
+
+def _block1_full_bwd_2d(r1, mask2, k1, k2, d_pool, s):
+    tile_h = _tile_h(r1.shape[1], backward=True)
+    h, w, c = r1.shape
+    grid = (h // tile_h,)
+    m2up, m2down = _halo_specs(w, c, tile_h, h, halo=1)
+    hp = h // 2
+    d_pool = jnp.repeat(d_pool, 2, axis=1)  # (hp, w, c)
+    dpup, dpdown = _halo_specs(w, c, tile_h // 2, hp, halo=1)
+    dpt = pl.pallas_call(
+        functools.partial(_full_bwd_kernel, w=w),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_h, w, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, w, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            m2up,
+            m2down,
+            pl.BlockSpec((tile_h // 2, w, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            dpup,
+            dpdown,
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # k1f (27, 64)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # k2
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # S
+        ],
+        out_specs=pl.BlockSpec((tile_h, w, 27), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, w, 27), r1.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * h * w * c * (27 + 9 * c + c),
+            bytes_accessed=3 * h * w * c * r1.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(r1, mask2, mask2, mask2, d_pool, d_pool, d_pool,
+      k1.reshape(27, -1).astype(r1.dtype), k2.astype(r1.dtype),
+      s.astype(r1.dtype))
+    return _col2im3(dpt)
+
+
+@jax.custom_vjp
+def block1_full(x: jnp.ndarray, k1, b1, k2, b2):
+    """Whole VGG block 1 fused: conv1_1 (VPU) + ReLU + conv1_2 (MXU) + ReLU
+    + 2x2 avg-pool, plus the conv1_1 Gram — from the preprocessed image.
+
+    ``x``: (1, H, W, 3), H even, W even. Returns ``(pool1, gram)`` exactly
+    matching the oracle composition; the backward produces d_x in one pass
+    from the saved conv1_1 activation and the conv1_2 ReLU mask.
+    """
+    n, h, w, _ = x.shape
+    if n != 1 or h % 2:
+        raise ValueError("block1_full expects N=1 and even H")
+    pool, gram, _, _ = _block1_full_fwd_2d(_pad_h(x[0]), k1, b1, k2, b2, h)
+    return pool[None, : h // 2], gram / jnp.float32(h * w)
+
+
+def _full_fwd(x, k1, b1, k2, b2):
+    n, h, w, _ = x.shape
+    if n != 1 or h % 2:
+        raise ValueError("block1_full expects N=1 and even H")
+    xp = _pad_h(x[0])
+    pool, gram, r1, mask2 = _block1_full_fwd_2d(xp, k1, b1, k2, b2, h)
+    out = (pool[None, : h // 2], gram / jnp.float32(h * w))
+    return out, (r1, mask2, k1, k2, h)
+
+
+def _full_bwd(res, cts):
+    r1, mask2, k1, k2, h = res
+    d_pool, d_gram = cts
+    w = r1.shape[1]
+    s = (d_gram + d_gram.T) / jnp.float32(h * w)
+    dp = d_pool[0]
+    if r1.shape[0] != h:
+        dp = jnp.pad(dp, ((0, (r1.shape[0] - h) // 2), (0, 0), (0, 0)))
+    dx = _block1_full_bwd_2d(r1, mask2, k1, k2, dp, s)
+    # weights are never optimized; zero cotangents keep the vjp total
+    return (dx[None, :h], jnp.zeros_like(k1), jnp.zeros((k1.shape[3],), k1.dtype),
+            jnp.zeros_like(k2), jnp.zeros((k2.shape[3],), k2.dtype))
+
+
+block1_full.defvjp(_full_fwd, _full_bwd)

@@ -106,3 +106,65 @@ def test_unaligned_height_pads():
     g_f = jax.grad(lambda x: loss(x, True))(r1)
     g_o = jax.grad(lambda x: loss(x, False))(r1)
     np.testing.assert_allclose(g_f, g_o, rtol=1e-4, atol=1e-5)
+
+
+def _oracle_full(x, k1, b1, k2, b2):
+    r1 = jax.nn.relu(_conv(x, k1, b1))
+    pool = _pool(jax.nn.relu(_conv(r1, k2, b2)), "average", None)
+    return pool, L.gram_matrix(r1)
+
+
+def _full_inputs(h, w, seed=0, dtype=jnp.float32):
+    r = np.random.RandomState(seed)
+    x = jnp.asarray(r.rand(1, h, w, 3).astype(np.float32)).astype(dtype)
+    k1 = jnp.asarray(r.randn(3, 3, 3, 64).astype(np.float32) * 0.2).astype(dtype)
+    b1 = jnp.asarray(r.randn(64).astype(np.float32) * 0.1).astype(dtype)
+    k2 = jnp.asarray(r.randn(3, 3, 64, 64).astype(np.float32) * 0.05).astype(dtype)
+    b2 = jnp.asarray(r.randn(64).astype(np.float32) * 0.1).astype(dtype)
+    return x, k1, b1, k2, b2
+
+
+@pytest.mark.parametrize("hw,dtype", [
+    ((16, 16), jnp.float32),
+    ((24, 32), jnp.float32),
+    ((20, 16), jnp.float32),  # H pads to the tile internally
+    ((32, 16), jnp.bfloat16),
+])
+def test_full_forward_matches_oracle(hw, dtype):
+    h, w = hw
+    x, k1, b1, k2, b2 = _full_inputs(h, w, seed=8, dtype=dtype)
+    pool_f, gram_f = B.block1_full(x, k1, b1, k2, b2)
+    pool_o, gram_o = _oracle_full(x, k1, b1, k2, b2)
+    tol = 3e-2 if dtype == jnp.bfloat16 else 1e-4
+    np.testing.assert_allclose(
+        np.asarray(pool_f, np.float32), np.asarray(pool_o, np.float32),
+        rtol=tol, atol=tol,
+    )
+    np.testing.assert_allclose(gram_f, gram_o, rtol=tol, atol=tol)
+
+
+@pytest.mark.parametrize("hw,dtype", [
+    ((16, 16), jnp.float32),
+    ((20, 16), jnp.float32),
+    ((32, 16), jnp.bfloat16),
+])
+def test_full_backward_matches_oracle(hw, dtype):
+    h, w = hw
+    x, k1, b1, k2, b2 = _full_inputs(h, w, seed=9, dtype=dtype)
+    rng = np.random.RandomState(10)
+    t_pool = jnp.asarray(rng.randn(1, h // 2, w // 2, 64).astype(np.float32)).astype(dtype)
+    t_gram = jnp.asarray(rng.randn(64, 64).astype(np.float32))
+
+    def loss(xx, fused):
+        f = B.block1_full if fused else _oracle_full
+        pool, gram = f(xx, k1, b1, k2, b2)
+        return L.content_loss(pool, t_pool) + 256.0 * L.style_loss(gram, t_gram)
+
+    tol = 3e-2 if dtype == jnp.bfloat16 else 1e-4
+    np.testing.assert_allclose(loss(x, True), loss(x, False), rtol=tol)
+    g_f = jax.grad(lambda xx: loss(xx, True))(x)
+    g_o = jax.grad(lambda xx: loss(xx, False))(x)
+    np.testing.assert_allclose(
+        np.asarray(g_f, np.float32), np.asarray(g_o, np.float32),
+        rtol=tol, atol=tol * 0.1,
+    )
