@@ -23,7 +23,7 @@ from __future__ import annotations
 import dataclasses
 import threading
 import time
-from collections import OrderedDict
+from collections import OrderedDict, deque
 from functools import partial
 from typing import Dict, Optional, Sequence, Tuple, Union
 
@@ -130,6 +130,13 @@ class StylizeConfig:
 
 #: Per-device pixel count at which StylizeConfig.remat=None turns itself on.
 REMAT_AUTO_PIXELS = 2560 * 2560
+
+#: In-flight chunks in the pipelined optimize loop. Depth 1 still starves
+#: the device at small scales on high-latency transports (~3 host
+#: round-trips per chunk vs ~60 ms of device time per 256px chunk); depth 2
+#: keeps it busy as long as host THROUGHPUT suffices. Each in-flight chunk
+#: holds one set of rollback/get_state copies.
+_PIPELINE_DEPTH = 2
 
 
 @dataclasses.dataclass
@@ -394,6 +401,10 @@ class StyleTransfer:
         def init_opt_state(image):
             return cfg.optimizer.build().init(image)
 
+        def _snap(image, ema):
+            show = ema if cfg.avg_decay > 0 else image
+            return jnp.clip(show[0], 0.0, 1.0)
+
         @partial(
             jax.jit, static_argnames="n", donate_argnames=("image", "ema", "opt_state")
         )
@@ -416,34 +427,23 @@ class StyleTransfer:
             (image, ema, opt_state), loss_seq = jax.lax.scan(
                 body, (image, ema, opt_state), None, length=n
             )
-            return image, ema, opt_state, loss_seq
+            # State snapshot emitted as extra outputs rather than a separate
+            # copy program: each dispatch is a full transport round-trip, and
+            # the chunk loop needs these to survive the NEXT chunk's donation
+            # (for ProgressEvent.get_state/get_image and the early-stop
+            # rollback). Duplicate jit outputs get independent buffers, so
+            # donating the primary carries leaves the snapshot intact
+            # (verified against this jax/PjRt).
+            return image, ema, opt_state, loss_seq, (
+                _snap(image, ema), image, ema, opt_state
+            )
 
         @partial(jax.jit, static_argnames="size")
         def upsample(image, *, size):
             out = imgio.resize_image(image, size)
             return mesh_mod.constrain_spatial(out, self.mesh)
 
-        # Pipelined-loop support (one device dispatch each, not one per
-        # leaf — each eager op is a full round-trip on remote transports):
-        # non-donated jit outputs never alias their inputs, so returning the
-        # arguments yields fresh buffers that survive the next run_chunk's
-        # donation.
-        def _snap(image, ema):
-            show = ema if cfg.avg_decay > 0 else image
-            return jnp.clip(show[0], 0.0, 1.0)
-
-        @jax.jit
-        def copy_full(image, ema, opt_state):
-            return _snap(image, ema), image, ema, opt_state
-
-        @jax.jit
-        def copy_rollback(image, ema):
-            return image, ema
-
-        make_snap = jax.jit(_snap)
-
-        programs = (capture_content, capture_style, init_opt_state, run_chunk, upsample,
-                    copy_full, copy_rollback, make_snap)
+        programs = (capture_content, capture_style, init_opt_state, run_chunk, upsample)
         self._prog_cache[key] = programs
         while len(self._prog_cache) > self._prog_cache_max:
             self._prog_cache.popitem(last=False)
@@ -491,8 +491,9 @@ class StyleTransfer:
         # jitted building blocks — cached per config on the instance, so
         # repeated stylize() calls (a serving loop) reuse traced programs
         # and their compiled executables instead of rebuilding closures.
-        (capture_content, capture_style, init_opt_state, run_chunk, upsample,
-         copy_full, copy_rollback, make_snap) = self._programs(cfg)
+        capture_content, capture_style, init_opt_state, run_chunk, upsample = (
+            self._programs(cfg)
+        )
 
         # ---- the multi-scale loop (SURVEY.md section 3.1 outer loop)
 
@@ -693,24 +694,17 @@ class StyleTransfer:
                 # and ProgressEvent.get_state reads the copies rather than
                 # the donated buffers.
                 n_dev = self.mesh.devices.size if self.mesh is not None else 1
-                needs_state = callback is not None
-                needs_rollback = cfg.stop_tol > 0
-                # auto: pipeline unless the rollback/get_state copies would
-                # eat HBM headroom in the auto-remat (memory-tight) regime;
-                # with no callback and no early stop there are no copies at
-                # all, so pipelining is free at any size
+                # auto: pipeline unless the in-flight records' state
+                # snapshots (a few image-sized buffers each) would eat HBM
+                # headroom in the auto-remat (memory-tight) regime
                 pipeline = (
                     cfg.pipeline_chunks
                     if cfg.pipeline_chunks is not None
-                    else (
-                        (h * w // n_dev) < REMAT_AUTO_PIXELS
-                        or not (needs_state or needs_rollback)
-                    )
+                    else (h * w // n_dev) < REMAT_AUTO_PIXELS
                 )
 
                 prev_mean = None
                 stall = 0
-                pending: Optional[_PendingChunk] = None
                 t_prev = 0.0
 
                 def _process(rec: "_PendingChunk") -> bool:
@@ -780,71 +774,54 @@ class StyleTransfer:
                         )
                     return stop
 
+                # Up to _PIPELINE_DEPTH chunks stay in flight: on
+                # high-latency transports one chunk ahead is not enough at
+                # small scales (host round-trips per chunk exceed the
+                # device's chunk time), so the device would still starve
+                # between chunks. Every chunk carries its own state
+                # snapshot (extra run_chunk outputs), so the record is
+                # complete at dispatch and survives later donations.
+                queue: deque = deque()
+                stopped = False
                 while done_iters < scale.iterations:
                     n = min(cfg.chunk_size, scale.iterations - done_iters)
-                    if pending is not None:
-                        # The current image/ema/opt_state ARE chunk k's
-                        # outputs and are about to be donated to chunk k+1;
-                        # keep device-side copies (plus the [0,1]-clipped
-                        # display snapshot) for k's callback state and the
-                        # early-stop rollback. One batched jit dispatch —
-                        # per-leaf eager copies cost a transport round-trip
-                        # each. Dispatched before the donation below.
-                        if needs_state:
-                            (pending.snap, pending.image, ema_copy,
-                             pending.opt_state) = copy_full(image, ema, opt_state)
-                            # without averaging, ema is the dummy (1,1,1,3)
-                            # carry — keep it out of checkpoint state (the
-                            # sequential/drain paths store None too)
-                            pending.ema = ema_copy if averaging else None
-                        elif needs_rollback:
-                            pending.image, ema_copy = copy_rollback(image, ema)
-                            pending.ema = ema_copy if averaging else None
-                    else:
+                    if not queue:
                         t_prev = time.perf_counter()
-                    image, ema, opt_state, loss_seq = run_chunk(
+                    image, ema, opt_state, loss_seq, state = run_chunk(
                         self.params, image, ema, opt_state, c_targets, s_targets, n=n
                     )
                     done_iters += n
-                    rec = _PendingChunk(n=n, done_iters=done_iters, loss_seq=loss_seq, snap=None)
-
-                    if pending is not None and pipeline:
-                        if _process(pending):
-                            # Early stop decided at chunk k: discard the
-                            # speculative chunk k+1 and restore k's state.
-                            image = pending.image
-                            if averaging:
-                                ema = pending.ema
-                            done_iters = pending.done_iters
-                            pending = None
-                            break
-                        pending = rec
-                    elif pipeline:
-                        pending = rec
-                    else:
-                        # Sequential mode: process immediately; no further
-                        # dispatch happens before the callback, so the live
-                        # (not-yet-donated) handles serve as the state. The
-                        # snapshot still must be a separate device buffer —
-                        # sinks that defer the fetch to another thread (web
-                        # monitor) would otherwise race buffer deletion by
-                        # the next chunk's donation.
-                        if callback is not None:
-                            rec.snap = make_snap(image, ema)
-                        rec.image, rec.opt_state = image, opt_state
-                        rec.ema = ema if averaging else None
+                    snap, img_c, ema_c, opt_c = state
+                    queue.append(
+                        _PendingChunk(
+                            n=n, done_iters=done_iters, loss_seq=loss_seq,
+                            snap=snap, image=img_c,
+                            # without averaging, ema is the dummy (1,1,1,3)
+                            # carry — keep it out of checkpoint state
+                            ema=ema_c if averaging else None,
+                            opt_state=opt_c,
+                        )
+                    )
+                    depth = _PIPELINE_DEPTH if pipeline else 0
+                    while len(queue) > depth:
+                        rec = queue.popleft()
                         if _process(rec):
+                            # Early stop decided at this chunk: discard any
+                            # speculative in-flight chunks, restore its state.
+                            image = rec.image
+                            if averaging:
+                                ema = rec.ema
+                            done_iters = rec.done_iters
+                            queue.clear()
+                            stopped = True
                             break
+                    if stopped:
+                        break
 
-                # Drain the last in-flight chunk (pipelined mode). Its stop
-                # decision is moot — the scale is complete either way.
-                if pending is not None:
-                    if callback is not None:
-                        pending.snap = make_snap(image, ema)
-                    pending.image, pending.opt_state = image, opt_state
-                    pending.ema = ema if averaging else None
-                    _process(pending)
-                    pending = None
+                # Drain the in-flight chunks (pipelined mode); stop
+                # decisions are moot — the scale is complete either way.
+                while queue:
+                    _process(queue.popleft())
 
             result = ema if cfg.avg_decay > 0 else image
             if output_dtype == "uint8":
