@@ -14,8 +14,13 @@ to exercise the pipeline; the output is texture-like, not a stylization).
 from __future__ import annotations
 
 import argparse
+import pathlib
+import sys
 
 import numpy as np
+
+# runnable straight from a checkout: python examples/stylize.py ...
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def main() -> int:
@@ -25,6 +30,7 @@ def main() -> int:
     p.add_argument("--weights", default=None)
     p.add_argument("-o", "--output", default="out.png")
     p.add_argument("--size", type=int, default=1024)
+    p.add_argument("--iterations", type=int, nargs="+", default=[500, 300, 200])
     args = p.parse_args()
 
     from style_transfer_tpu import StyleTransfer, StylizeConfig
@@ -47,8 +53,8 @@ def main() -> int:
 
     cfg = StylizeConfig(
         size=args.size,
-        min_scale=256,                     # coarse-to-fine ladder start
-        iterations=(500, 300, 200),        # per scale, last repeats
+        min_scale=min(256, args.size),     # coarse-to-fine ladder start
+        iterations=tuple(args.iterations),  # per scale, last repeats
         style_blend_weights=None,          # e.g. [0.7, 0.3] for two styles
         optimizer=OptimizerSpec("adam", learning_rate=0.05),
         avg_decay=0.99,                    # Polyak-averaged output image

@@ -202,3 +202,34 @@ def test_cli_checkpoint_every(tmp_path, images):
     )
     # FAST runs 4 iterations; every=2 crosses the 2 and 4 boundaries.
     assert steps == [2, 4]
+
+
+def test_example_script_runs(tmp_path, monkeypatch):
+    """examples/stylize.py is user-facing documentation — keep it runnable
+    straight from a checkout (run in-process to share the session's jit
+    caches; a fresh subprocess pays minutes of cold CPU compiles)."""
+    import importlib.util
+    import sys
+
+    import numpy as np
+    from PIL import Image
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = np.random.RandomState(0)
+    content = tmp_path / "c.png"
+    style = tmp_path / "s.png"
+    out = tmp_path / "o.png"
+    Image.fromarray((r.rand(48, 40, 3) * 255).astype("uint8")).save(content)
+    Image.fromarray((r.rand(40, 40, 3) * 255).astype("uint8")).save(style)
+
+    spec = importlib.util.spec_from_file_location(
+        "example_stylize", os.path.join(root, "examples", "stylize.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(sys, "argv", [
+        "stylize.py", str(content), str(style), "-o", str(out),
+        "--size", "48", "--iterations", "6",
+    ])
+    assert mod.main() == 0
+    assert out.exists() and Image.open(out).size[0] > 0
