@@ -25,10 +25,12 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def measure_its_per_sec(st, content, style, size: int, iters: int, cfg_kw):
+def measure_its_per_sec(st, content, style, size: int, iters: int, cfg_kw, chunk: int = 15):
     """Steady-state optimizer iterations/sec at a fixed size (compile excluded
-    via a warmup chunk). Returns ``(median, max)`` over the steady chunks —
-    median is the headline (robust on a shared device); max is informational.
+    via a warmup chunk). Returns ``(median, max, n_steady)`` over the steady
+    chunks — median is the headline (robust on a shared device); max is
+    informational. ``iters``/``chunk`` are sized by the callers so the median
+    covers >= 7 steady chunks.
     """
     from style_transfer_tpu.api import StylizeConfig
 
@@ -38,13 +40,13 @@ def measure_its_per_sec(st, content, style, size: int, iters: int, cfg_kw):
         rates.append(ev.its_per_sec)
 
     cfg = StylizeConfig(
-        size=size, min_scale=size, iterations=(iters,), chunk_size=max(10, iters // 4),
+        size=size, min_scale=size, iterations=(iters,), chunk_size=chunk,
         **cfg_kw,
     )
     st.stylize(content, style, cfg, callback=cb)
-    # first chunk includes XLA compile; drop it, report steady chunks
+    # first chunk includes XLA compile + pipeline fill; drop it
     steady = rates[1:] or rates
-    return statistics.median(steady), max(steady)
+    return statistics.median(steady), max(steady), len(steady)
 
 
 def main(argv=None) -> int:
@@ -54,6 +56,8 @@ def main(argv=None) -> int:
     p.add_argument("--quick", action="store_true", help="512px its/sec only (fast CI)")
     p.add_argument("--unfused", action="store_true")
     p.add_argument("--skip-rates", action="store_true", help="skip 512/1024 its/sec probes")
+    p.add_argument("--skip-4k", action="store_true",
+                   help="skip the 4096px multi-scale timed run")
     p.add_argument("--cold", action="store_true",
                    help="skip the warm pass; the wall-clock then includes XLA "
                         "compiles (cache-state dependent)")
@@ -95,17 +99,33 @@ def main(argv=None) -> int:
         args.skip_rates = False  # --quick IS the 512px rate probe
 
     if not args.skip_rates:
+        # 120 iters / chunk 15 -> 8 chunks, 7 steady: the median is a real
+        # median, not a best-of-3 (round-2 verdict weak item 6).
         t0 = time.time()
-        med, mx = measure_its_per_sec(st, content, style, 512, 120, cfg_kw)
+        med, mx, n = measure_its_per_sec(st, content, style, 512, 120, cfg_kw, chunk=15)
         extra["its_per_sec_512"] = round(med, 2)
         extra["its_per_sec_512_max"] = round(mx, 2)
-        log(f"512px: {extra['its_per_sec_512']} it/s median ({time.time()-t0:.0f}s)")
+        extra["its_per_sec_512_chunks"] = n
+        log(f"512px: {extra['its_per_sec_512']} it/s median of {n} ({time.time()-t0:.0f}s)")
         if not args.quick:
             t0 = time.time()
-            med, mx = measure_its_per_sec(st, content, style, 1024, 60, cfg_kw)
+            med, mx, n = measure_its_per_sec(st, content, style, 1024, 120, cfg_kw, chunk=15)
             extra["its_per_sec_1024"] = round(med, 2)
             extra["its_per_sec_1024_max"] = round(mx, 2)
-            log(f"1024px: {extra['its_per_sec_1024']} it/s median ({time.time()-t0:.0f}s)")
+            extra["its_per_sec_1024_chunks"] = n
+            log(f"1024px: {extra['its_per_sec_1024']} it/s median of {n} ({time.time()-t0:.0f}s)")
+            # Config 4's optimizer (L-BFGS + TV, BASELINE.json:10) becomes
+            # driver-visible: steady it/s at 1024px. Each L-BFGS iteration
+            # includes its zoom line search (several extra objective
+            # evaluations), so rates are not comparable 1:1 with Adam's.
+            t0 = time.time()
+            lb_kw = dict(cfg_kw)
+            lb_kw["optimizer"] = OptimizerSpec("lbfgs")
+            med, mx, n = measure_its_per_sec(st, content, style, 1024, 80, lb_kw, chunk=10)
+            extra["its_per_sec_1024_lbfgs"] = round(med, 2)
+            extra["its_per_sec_1024_lbfgs_chunks"] = n
+            log(f"1024px L-BFGS: {extra['its_per_sec_1024_lbfgs']} it/s median of {n} "
+                f"({time.time()-t0:.0f}s)")
 
     if args.quick:
         value = extra["its_per_sec_512"]
@@ -151,14 +171,12 @@ def main(argv=None) -> int:
         st.stylize(content, style, warm_cfg)
         log(f"warm pass: {time.time()-t0:.1f}s")
 
-    # Two timed runs, report the faster (standard practice for wall-clock
-    # on a shared device — a transient co-tenant burst measured 5x on one
-    # run while the adjacent runs were nominal; both runs are reported).
-    # Per-scale wall-clock attributes time between callback events to the
-    # event's scale (the first chunk of a scale absorbs its target capture).
-    runs = []
-    best_scales: dict = {}
-    for rep in range(1 if args.cold else 2):
+    # Three timed runs, headline = MEDIAN (min-of-N is a noise-seeking
+    # statistic — round-2 verdict weak item 1); min and the full run list
+    # stay in the JSON for disclosure. Per-scale wall-clock attributes time
+    # between callback events to the event's scale (the first chunk of a
+    # scale absorbs its target capture).
+    def timed_run(run_cfg, label):
         scale_seconds: dict = {}
         last_t = [time.time()]
 
@@ -169,15 +187,46 @@ def main(argv=None) -> int:
             last_t[0] = now
 
         t0 = time.time()
-        st.stylize(content, style, cfg, callback=scale_cb)
-        runs.append(time.time() - t0)
-        if runs[-1] == min(runs):
-            best_scales = scale_seconds
-        log(f"{args.size}px multi-scale (run {rep + 1}): {runs[-1]:.1f}s "
+        st.stylize(content, style, run_cfg, callback=scale_cb)
+        wall = time.time() - t0
+        log(f"{label}: {wall:.1f}s "
             f"{ {k: round(v, 2) for k, v in scale_seconds.items()} }")
-    wall = min(runs)
+        return wall, scale_seconds
+
+    runs = []
+    median_scales: dict = {}
+    all_scales = []
+    for rep in range(1 if args.cold else 3):
+        wall, scales = timed_run(cfg, f"{args.size}px multi-scale (run {rep + 1})")
+        runs.append(wall)
+        all_scales.append(scales)
+    wall = statistics.median(runs)
+    median_scales = all_scales[min(
+        range(len(runs)), key=lambda i: abs(runs[i] - wall)
+    )]
     extra["wallclock_runs"] = [round(r, 2) for r in runs]
-    extra["per_scale_seconds"] = {k: round(v, 2) for k, v in best_scales.items()}
+    extra["wallclock_min"] = round(min(runs), 2)
+    extra["per_scale_seconds"] = {k: round(v, 2) for k, v in median_scales.items()}
+
+    # Config 5's resolution axis (4K single-chip, BASELINE.json:11) becomes
+    # driver-visible: one timed 4K multi-scale run (auto-remat engages at the
+    # final scale). Scales up to 2048px reuse the executables the 2048 runs
+    # above compiled; the 4096-shape programs background-compile while the
+    # smaller scales optimize, so a single run is mostly steady-state.
+    if not args.skip_4k and args.size == 2048:
+        cfg_4k = StylizeConfig(
+            size=4096,
+            min_scale=256,
+            iterations=(150, 100, 75, 50, 50),
+            chunk_size=25,
+            stop_tol=2e-3,
+            stop_patience=2,
+            **cfg_kw,
+        )
+        wall_4k, scales_4k = timed_run(cfg_4k, "4096px multi-scale (single run)")
+        extra["wallclock_4096px_multiscale"] = round(wall_4k, 2)
+        extra["per_scale_seconds_4096"] = {k: round(v, 2) for k, v in scales_4k.items()}
+        extra["iterations_4096"] = list(cfg_4k.iterations)
 
     print(json.dumps({
         "metric": f"wallclock_{args.size}px_multiscale",

@@ -23,6 +23,7 @@ from __future__ import annotations
 import dataclasses
 import threading
 import time
+import warnings
 from collections import OrderedDict, deque
 from functools import partial
 from typing import Dict, Optional, Sequence, Tuple, Union
@@ -143,10 +144,13 @@ _PIPELINE_DEPTH = 2
 class _PendingChunk:
     """A dispatched-but-not-yet-processed optimizer chunk (pipelined loop).
 
-    ``loss_seq``/``snap`` are device handles created at dispatch time;
-    ``image``/``ema``/``opt_state`` are attached later — device-side copies
-    of the chunk's outputs, made just before those outputs are donated to
-    the next chunk (or the live handles, for the scale's final chunk).
+    Every field is a device handle created at dispatch time: ``run_chunk``
+    returns the post-chunk state twice — once as the primary carries (which
+    the NEXT chunk's dispatch donates) and once as snapshot outputs routed
+    through ``optimization_barrier`` so they occupy their own buffers. The
+    record is therefore complete the moment the chunk is dispatched, and
+    its ``image``/``ema``/``opt_state`` survive later donations (early-stop
+    rollback and ``ProgressEvent.get_state`` read them safely).
     """
 
     n: int
@@ -253,13 +257,42 @@ class StyleTransfer:
         8.44 -> 8.34 at 512px). The fused content/style epilogues measured
         *slower* in context (61 ms/it at 1024px — pallas_call is an
         optimization barrier around the conv4_2 producer) and stay opt-in
-        API. Pallas kernels don't SPMD-partition, so sharded meshes and
-        non-TPU backends take the oracle path.
+        API. Under a mesh the TV kernel rides a shard_map wrapper (per-device
+        kernel + ppermute halo + psum, ep.make_sharded_tv_loss); non-TPU
+        backends take the oracle path (interpret-mode Pallas would be pure
+        overhead outside tests).
         """
-        if cfg.use_fused and self.mesh is None and jax.default_backend() == "tpu":
+        if cfg.use_fused and jax.default_backend() == "tpu":
             from style_transfer_tpu.ops.pallas import epilogue as ep
 
-            return {"tv_loss_fn": ep.tv_loss}
+            if self.mesh is None:
+                def tv_dispatch(image):
+                    # The fused kernel flattens to (H, W*C); Mosaic wants
+                    # (8, 128)-granular blocks on the last two dims and only
+                    # 128-aligned flattened widths were validated on
+                    # hardware. Unaligned widths (e.g. --size 1000) take the
+                    # oracle — a shape decision made at trace time, so the
+                    # compiled program pays nothing for the check.
+                    if (image.shape[2] * image.shape[3]) % 128 == 0:
+                        return ep.tv_loss(image)
+                    return L.tv_loss(image)
+            else:
+                # Sharded runs get the shard_map-wrapped kernel: per-device
+                # Pallas TV over the local rows, one-row ppermute halos,
+                # psum'd loss (ops/pallas/epilogue.py). Same lane-alignment
+                # gate, plus clean H shards.
+                n_dev = self.mesh.devices.size
+                sharded_tv = ep.make_sharded_tv_loss(self.mesh, mesh_mod.SPATIAL_AXIS)
+
+                def tv_dispatch(image):
+                    if (
+                        image.shape[1] % n_dev == 0
+                        and (image.shape[2] * image.shape[3]) % 128 == 0
+                    ):
+                        return sharded_tv(image)
+                    return L.tv_loss(image)
+
+            return {"tv_loss_fn": tv_dispatch}
         return {}
 
     def _block1_eligible(self, cfg: StylizeConfig) -> bool:
@@ -431,11 +464,17 @@ class StyleTransfer:
             # copy program: each dispatch is a full transport round-trip, and
             # the chunk loop needs these to survive the NEXT chunk's donation
             # (for ProgressEvent.get_state/get_image and the early-stop
-            # rollback). Duplicate jit outputs get independent buffers, so
-            # donating the primary carries leaves the snapshot intact
-            # (verified against this jax/PjRt).
+            # rollback). The snapshot is routed through optimization_barrier
+            # so it is a DISTINCT HLO value from the primary carries — buffer
+            # independence is guaranteed by construction, not by the backend
+            # happening to give duplicate outputs separate buffers (a future
+            # XLA that aliases identical outputs would otherwise break every
+            # pipelined run with "Array has been deleted").
+            snap_img, snap_ema, snap_opt = jax.lax.optimization_barrier(
+                (image, ema, opt_state)
+            )
             return image, ema, opt_state, loss_seq, (
-                _snap(image, ema), image, ema, opt_state
+                _snap(snap_img, snap_ema), snap_img, snap_ema, snap_opt
             )
 
         @partial(jax.jit, static_argnames="size")
@@ -497,12 +536,29 @@ class StyleTransfer:
 
         # ---- the multi-scale loop (SURVEY.md section 3.1 outer loop)
 
+        requested_size = cfg.end_size(content_t.shape[1:3])
         plan = build_plan(
-            cfg.end_size(content_t.shape[1:3]),
+            requested_size,
             cfg.iterations,
             min_scale=cfg.min_scale,
             factor=cfg.scale_factor,
         )
+        # Odd sizes are rounded to even (VGG's five 2x pooling stages). Warn
+        # when the rounding changes what the user explicitly asked for: both
+        # dims of a (H, W) request, or the long side of an integer request
+        # (the aspect-derived short side was never explicitly requested).
+        delivered = plan[-1].size
+        explicitly_changed = (
+            delivered != tuple(requested_size)
+            if not isinstance(cfg.size, int)
+            else max(delivered) != max(requested_size)
+        )
+        if explicitly_changed:
+            warnings.warn(
+                f"requested output size {tuple(requested_size)} rounded to "
+                f"{delivered} (sizes are rounded to even for VGG pooling)",
+                stacklevel=2,
+            )
         key = jax.random.PRNGKey(cfg.seed)
         image: Optional[jnp.ndarray] = None
 

@@ -336,3 +336,87 @@ def _tv_bwd(grad, ct):
 
 
 tv_loss.defvjp(_tv_fwd, _tv_bwd)
+
+
+# --------------------------------------------------- TV on a spatial mesh
+
+
+def _tv_sse_grad_sharded(image: jnp.ndarray, axis: str):
+    """Per-device body (inside shard_map): fused local TV + halo correction.
+
+    ``image`` is the local (1, H/n, W, C) spatial shard. The single-device
+    Pallas kernel computes every difference interior to the shard (it treats
+    the block as a full image, so it emits no dh out of the shard's last
+    row); the one forward difference per boundary — shard p's last row to
+    shard p+1's first row — is then added in plain jnp from two one-row
+    ``ppermute`` halo exchanges. Loss contributions ``psum`` over ICI; the
+    gradient stays sharded. Mathematically exact vs the unsharded kernel
+    (the same sums, re-associated), tested in tests/test_sharding.py.
+    """
+    n, h_l, w, c = image.shape
+    x2d = image.astype(jnp.float32).reshape(h_l, w * c)
+    sse, grad2d = _tv_sse_grad(x2d, c)
+
+    idx = jax.lax.axis_index(axis)
+    size = jax.lax.axis_size(axis)
+    first, last = x2d[:1], x2d[-1:]
+    # shard p receives p+1's FIRST row (the forward-difference target of its
+    # own last row) and p-1's LAST row (needed for its first row's gradient
+    # term). Edge devices receive zeros and mask the contribution out.
+    down = jax.lax.ppermute(first, axis, [(i, i - 1) for i in range(1, size)])
+    up = jax.lax.ppermute(last, axis, [(i, i + 1) for i in range(size - 1)])
+    not_last = (idx < size - 1).astype(jnp.float32)
+    not_first = (idx > 0).astype(jnp.float32)
+
+    dh_down = (down - last) * not_last  # boundary dh owned by this shard
+    dh_up = (first - up) * not_first  # boundary dh owned by the shard above
+    sse = sse + jnp.sum(dh_down * dh_down)
+    grad2d = grad2d.at[-1:].add(-2.0 * dh_down).at[:1].add(2.0 * dh_up)
+
+    total = jax.lax.psum(sse, axis)
+    return total, grad2d.reshape(image.shape)
+
+
+def make_sharded_tv_loss(mesh, axis: str):
+    """Fused TV loss carried onto a 1-D spatial mesh (round-2 verdict item 2).
+
+    Returns a drop-in :func:`ops.losses.tv_loss` for images sharded along H
+    over ``mesh`` (``PartitionSpec(None, axis, None, None)``): each device
+    runs the streaming Pallas kernel on its own rows, boundary terms ride a
+    one-row ``ppermute`` halo, and the scalar loss is ``psum``-replicated.
+    The custom VJP keeps the per-shard gradient as the residual, so the
+    backward is a local cotangent scale — no extra collectives.
+
+    Caller gates: H divisible by the mesh size, (W*C) % 128 == 0 (the same
+    Mosaic lane-alignment gate as the single-device kernel), N == 1.
+    """
+    shard_map = jax.shard_map
+    from jax.sharding import PartitionSpec as P
+
+    img_spec = P(None, axis, None, None)
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # annotation, which the jax 0.9 vma checker rejects inside shard_map;
+    # correctness is covered by the sharded == unsharded tests instead.
+    body = shard_map(
+        lambda img: _tv_sse_grad_sharded(img, axis),
+        mesh=mesh,
+        in_specs=(img_spec,),
+        out_specs=(P(), img_spec),
+        check_vma=False,
+    )
+
+    @jax.custom_vjp
+    def tv_loss_sharded(image: jnp.ndarray) -> jnp.ndarray:
+        sse, _ = body(image)
+        return sse / jnp.float32(image.size)
+
+    def fwd(image):
+        sse, grad = body(image)
+        return sse / jnp.float32(image.size), (grad.astype(image.dtype), image.size)
+
+    def bwd(res, ct):
+        grad, numel = res
+        return (grad * (ct / jnp.float32(numel)),)
+
+    tv_loss_sharded.defvjp(fwd, bwd)
+    return tv_loss_sharded

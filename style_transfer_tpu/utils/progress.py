@@ -28,6 +28,11 @@ class ProgressEvent:
     iteration: int  # iterations completed at this scale (cumulative)
     total_iterations: int  # planned iterations at this scale
     losses: Dict[str, np.ndarray]  # per-iteration loss terms for this chunk
+    # Wall-clock rate since the previous event. The FIRST chunk of each scale
+    # understates the steady rate: its interval absorbs XLA compile (or cache
+    # load), target capture, and — in pipelined mode — the dispatch of the
+    # speculative chunks filling the queue. Steady-state consumers should
+    # drop each scale's first event (bench.py and MetricsRecorder.summary do).
     its_per_sec: float
     # Lazily fetches the current image as float RGB (H, W, 3) in [0, 1].
     # Backed by a private (non-donated) device snapshot, so it is safe to
@@ -93,11 +98,18 @@ class MetricsRecorder:
         )
 
     def summary(self) -> dict:
+        """Steady-state per-scale rates: each scale's FIRST chunk is dropped
+        (it absorbs compile/cache-load, target capture, and pipeline fill —
+        see :class:`ProgressEvent`), matching bench.py's methodology so
+        ``--metrics-out`` summaries and the perf harness agree. Scales with
+        a single chunk keep it (better a biased number than none)."""
         by_scale: Dict[int, List[float]] = {}
         for r in self.records:
             by_scale.setdefault(r["scale"], []).append(r["its_per_sec"])
+        steady = {k: (v[1:] if len(v) > 1 else v) for k, v in by_scale.items()}
         return {
-            "per_scale_its_per_sec": {k: float(np.mean(v)) for k, v in by_scale.items()},
+            "per_scale_its_per_sec": {k: float(np.mean(v)) for k, v in steady.items()},
+            "per_scale_chunks_counted": {k: len(v) for k, v in steady.items()},
             "final_loss": self.records[-1]["loss"] if self.records else None,
         }
 

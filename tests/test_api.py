@@ -382,3 +382,42 @@ def test_output_dtype_uint8_matches_float_quantization(st, images):
     np.testing.assert_array_equal(out_u, to_uint8(out_f))
     with pytest.raises(ValueError, match="output_dtype"):
         st.stylize(content, style, cfg, output_dtype="float16")
+
+
+def test_odd_size_warns_about_even_rounding(st, images):
+    """An odd requested size is delivered even-rounded (VGG pooling) — the
+    user gets a warning naming both sizes rather than a silent shape change."""
+    import warnings
+
+    content, style = images
+    with pytest.warns(UserWarning, match="rounded"):
+        out = st.stylize(content, style, _small_cfg(size=(33, 27), iterations=(2,)))
+    assert out.shape[0] % 2 == 0 and out.shape[1] % 2 == 0
+    # exact even requests pass through silently
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        st.stylize(content, style, _small_cfg(size=(32, 28), iterations=(2,)))
+
+
+def test_metrics_summary_drops_first_chunk():
+    """MetricsRecorder.summary() uses steady chunks only (first chunk per
+    scale absorbs compile + pipeline fill), matching bench.py's methodology."""
+    from style_transfer_tpu.utils.progress import MetricsRecorder, ProgressEvent
+
+    rec = MetricsRecorder()
+    rates = {0: [1.0, 10.0, 12.0], 1: [2.0]}
+    for scale, rs in rates.items():
+        for i, r in enumerate(rs):
+            rec(
+                ProgressEvent(
+                    scale_index=scale, num_scales=2, size=(8, 8), iteration=i + 1,
+                    total_iterations=len(rs), losses={"loss": np.asarray([1.0])},
+                    its_per_sec=r, get_image=lambda: None,
+                )
+            )
+    s = rec.summary()
+    # scale 0: first chunk (1.0, compile-laden) dropped -> mean(10, 12)
+    assert s["per_scale_its_per_sec"][0] == pytest.approx(11.0)
+    assert s["per_scale_chunks_counted"][0] == 2
+    # single-chunk scales keep their only sample
+    assert s["per_scale_its_per_sec"][1] == pytest.approx(2.0)

@@ -110,3 +110,26 @@ def test_composed_objective_matches_oracle():
         np.asarray(gf_f, np.float32), np.asarray(gf_o, np.float32),
         rtol=2e-2, atol=1e-4,
     )
+
+
+def test_tv_dispatch_alignment_gate(monkeypatch):
+    """api._loss_fns routes the fused TV kernel only for 128-aligned
+    flattened widths (W*C); unaligned shapes fall back to the oracle
+    (the Mosaic toolchain was only hardware-validated on aligned lanes)."""
+    import jax as jax_mod
+
+    from style_transfer_tpu import api
+    from style_transfer_tpu.ops.pallas import epilogue as ep_mod
+
+    st = api.StyleTransfer()
+    monkeypatch.setattr(api.jax, "default_backend", lambda: "tpu")
+    fns = st._loss_fns(api.StylizeConfig(use_fused=True))
+    tv = fns["tv_loss_fn"]
+    monkeypatch.setattr(ep_mod, "tv_loss", lambda img: "fused")
+    monkeypatch.setattr(api.L, "tv_loss", lambda img: "oracle")
+    aligned = jnp.zeros((1, 8, 128, 3))  # W*C = 384, 128-aligned
+    unaligned = jnp.zeros((1, 8, 100, 3))  # W*C = 300
+    assert tv(aligned) == "fused"
+    assert tv(unaligned) == "oracle"
+    # unfused config exposes no override at all
+    assert st._loss_fns(api.StylizeConfig(use_fused=False)) == {}

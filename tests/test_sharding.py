@@ -231,3 +231,68 @@ def test_sharded_gradient_exact_submesh(mesh8, images):
     np.testing.assert_allclose(
         np.asarray(g2), np.asarray(g1), atol=2e-5 * max(scale, 1.0)
     )
+
+
+def test_sharded_fused_tv_matches_oracle(mesh8):
+    """The shard_map-wrapped Pallas TV kernel (round-2 verdict item 2):
+    value AND gradient must match the unsharded oracle on the 8-device mesh
+    (per-device kernel, one-row ppermute halos, psum'd loss)."""
+    import jax.numpy as jnp
+
+    from style_transfer_tpu.ops import losses as L
+    from style_transfer_tpu.ops.pallas import epilogue as E
+
+    r = np.random.RandomState(3)
+    img = jnp.asarray(r.rand(1, 64, 48, 3).astype(np.float32))
+    img_sh = mesh_mod.shard_image(img, mesh8)
+    tv_sharded = E.make_sharded_tv_loss(mesh8, mesh_mod.SPATIAL_AXIS)
+
+    val = jax.jit(tv_sharded)(img_sh)
+    ref = L.tv_loss(img)
+    np.testing.assert_allclose(float(val), float(ref), rtol=1e-6)
+
+    g = jax.jit(jax.grad(lambda im: 3.5 * tv_sharded(im)))(img_sh)
+    g_ref = jax.grad(lambda im: 3.5 * L.tv_loss(im))(img)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-5, atol=1e-7)
+    # the gradient comes back sharded along H
+    heights = {s.data.shape[1] for s in g.addressable_shards}
+    assert heights == {8}
+
+
+def test_sharded_fused_tv_end_to_end_dispatch(mesh8, images, monkeypatch):
+    """use_fused no longer silently no-ops under a mesh: with the backend
+    reported as TPU (kernels forced to interpreter mode on CPU), a sharded
+    stylize routes TV through the shard_map kernel and reproduces the
+    oracle run."""
+    from style_transfer_tpu import api
+    from style_transfer_tpu.ops.pallas import epilogue as E
+
+    import jax.numpy as jnp
+
+    content, style = images
+    st = StyleTransfer(mesh=mesh8)
+    # W=128 so the flattened lane width (W*C=384) passes the 128-alignment
+    # gate and the shard_map kernel actually carries the TV term.
+    cfg_kw = dict(size=(64, 128), iterations=(3,), tv_weight=5.0)
+    out_oracle = st.stylize(content, style, _cfg(use_fused=False, **cfg_kw))
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(E, "_interpret", lambda: True)
+    calls = []
+    real_make = E.make_sharded_tv_loss
+
+    def spy(mesh, axis):
+        calls.append(axis)
+        return real_make(mesh, axis)
+
+    monkeypatch.setattr(E, "make_sharded_tv_loss", spy)
+    # compute_dtype pinned: the fake "tpu" backend would otherwise flip the
+    # new instance to bfloat16 and the comparison would measure dtype, not
+    # the TV dispatch.
+    st2 = StyleTransfer(mesh=mesh8, compute_dtype=jnp.float32)
+    out_fused = st2.stylize(content, style, _cfg(use_fused=True, **cfg_kw))
+    assert calls, "sharded fused dispatch did not build the shard_map TV kernel"
+    # fp reassociation (psum ordering) shifts the TV term by ~1 ulp, which
+    # three Adam steps amplify slightly; the direct-kernel test above checks
+    # value/grad at tight tolerance.
+    np.testing.assert_allclose(out_fused, out_oracle, rtol=1e-3, atol=5e-4)
