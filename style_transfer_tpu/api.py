@@ -85,13 +85,24 @@ class StylizeConfig:
     # loss+gradient kernel, on a single TPU device. False = the plain-XLA
     # oracle objective everywhere.
     use_fused: bool = True
-    # EXPERIMENTAL: run VGG block 1 through the fused Pallas kernel
+    # Fused W-pair-packed block-1 Pallas kernel (ops/pallas/block1_packed.py):
+    # conv1_1+ReLU+conv1_2+ReLU+avg-pool and the conv1_1 Gram in one pass
+    # from the preprocessed image, with every buffer packed two W-pixels
+    # per 128-lane register. Measured 3.5x faster than XLA's conv path on
+    # the block-1 subgraph at 1024px (6.2 vs 21.8 ms/it — ARCHITECTURE.md),
+    # which was ~60% of the whole optimizer step. None = auto: on for
+    # single-device TPU runs when structurally eligible (average pooling,
+    # block-1 feature needs limited to conv1_1's Gram, non-remat regime).
+    # True forces it (interpret mode off-TPU, tests), False disables.
+    packed_block1: Optional[bool] = None
+    # EXPERIMENTAL: run VGG block 1 through the round-2 fused Pallas kernel
     # (ops/pallas/block1.py — conv1_2+ReLU+avg-pool+conv1_1-Gram in one
     # pass). The kernel wins 2x standalone but XLA's layout assignment
     # reorganizes the neighbouring convs around the custom call's forced
     # row-major layouts and gives the win back in the full step (numbers
     # in ARCHITECTURE.md), so it is OFF by default; structural eligibility
-    # (average pooling, no block-1 feature losses) still applies.
+    # (average pooling, no block-1 feature losses) still applies. Takes
+    # precedence over packed_block1 when explicitly opted into.
     fused_block1: bool = False
     # Pipeline device chunks: dispatch chunk k+1 before fetching chunk k's
     # losses, so the device never idles on per-chunk host work (loss fetch
@@ -295,16 +306,12 @@ class StyleTransfer:
             return {"tv_loss_fn": tv_dispatch}
         return {}
 
-    def _block1_eligible(self, cfg: StylizeConfig) -> bool:
-        """Whether the fused block-1 kernel (ops/pallas/block1.py) can carry
-        the objective's first block: explicitly opted in (it measured
-        slower in the full step — ARCHITECTURE.md), average pooling, no
-        block-1 activation demanded beyond conv1_1's Gram, at least one
-        deeper layer to feed, single device (Pallas doesn't
-        SPMD-partition; off-TPU it runs in interpreter mode for tests)."""
-        if not (cfg.fused_block1 and cfg.use_fused and self.mesh is None):
-            return False
-        if self.pooling != "average":
+    def _block1_structurally_eligible(self, cfg: StylizeConfig) -> bool:
+        """Whether a fused block-1 kernel can carry the objective's first
+        block at all: average pooling, no block-1 activation demanded
+        beyond conv1_1's Gram, at least one deeper layer to feed, single
+        device (the kernels ride plain pallas_call, not shard_map)."""
+        if self.mesh is not None or self.pooling != "average":
             return False
         b1 = {"conv1_1", "conv1_2", "pool1"}
         if set(cfg.content_layers) & b1:
@@ -315,6 +322,24 @@ class StyleTransfer:
         return any(
             l not in b1 for l in list(cfg.content_layers) + list(cfg.style_layers)
         )
+
+    def _block1_eligible(self, cfg: StylizeConfig) -> bool:
+        """The round-2 experimental kernel (ops/pallas/block1.py): explicit
+        opt-in only (it measured slower in the full step — ARCHITECTURE.md)."""
+        return (
+            cfg.fused_block1
+            and cfg.use_fused
+            and self._block1_structurally_eligible(cfg)
+        )
+
+    def _packed_block1_eligible(self, cfg: StylizeConfig) -> bool:
+        """The packed kernel (ops/pallas/block1_packed.py): auto-dispatched
+        on TPU (the measured winner), forceable for interpret-mode tests."""
+        if not cfg.use_fused or cfg.packed_block1 is False or cfg.fused_block1:
+            return False
+        if cfg.packed_block1 is None and jax.default_backend() != "tpu":
+            return False
+        return self._block1_structurally_eligible(cfg)
 
     def _prog_key(self, cfg: StylizeConfig) -> str:
         """Program-cache key: exactly the fields that shape the traced
@@ -334,6 +359,7 @@ class StyleTransfer:
                 cfg.optimizer,
                 cfg.use_fused,
                 cfg.fused_block1,
+                cfg.packed_block1,
                 cfg.remat,
                 cfg.avg_decay,
             )
@@ -363,6 +389,7 @@ class StyleTransfer:
             return {k: gram_fn(v) for k, v in feats.items()}
 
         fused_b1 = self._block1_eligible(cfg)
+        packed_b1 = self._packed_block1_eligible(cfg)
 
         def objective(params, image, c_targets, s_targets):
             image = mesh_mod.constrain_spatial(image, self.mesh)
@@ -372,11 +399,45 @@ class StyleTransfer:
                 cfg.remat or (cfg.remat is None and pixels >= REMAT_AUTO_PIXELS)
             )
             gram_overrides = None
-            # fused block 1 additionally gates on the traced shape: even
-            # extents, and W <= 1024 — the Mosaic toolchain crashes
-            # compiling the kernel at W=2048 (ARCHITECTURE.md), so larger
-            # scales of a multi-scale ladder fall back to the XLA path.
+            # The packed kernel additionally gates on the traced shape (even
+            # extents) and on the memory regime: its backward residuals are
+            # the packed conv1_1 activation + ReLU mask (~3 GB at 4K), which
+            # the auto-remat HBM budget cannot spare — remat scales keep the
+            # XLA path unless the user forces the kernel on.
             if (
+                packed_b1
+                and image.shape[1] % 2 == 0
+                and image.shape[2] % 2 == 0
+                and (cfg.packed_block1 or not use_remat)
+            ):
+                from style_transfer_tpu.ops.pallas import block1_packed as B1P
+
+                x = imgio.preprocess(image, self.mean, self.std)
+                if self.compute_dtype is not None:
+                    x = x.astype(self.compute_dtype)
+                p1, p2 = params["conv1_1"], params["conv1_2"]
+                pool1, g1 = B1P.block1_packed(
+                    x, p1["kernel"], p1["bias"], p2["kernel"], p2["bias"]
+                )
+                deeper = tuple(l for l in all_layers if l != "conv1_1")
+                feats = vgg_mod.extract_features(
+                    params,
+                    pool1,
+                    deeper,
+                    pooling=self.pooling,
+                    compute_dtype=None,
+                    shard_divisor=None,
+                    arch=self.arch,
+                    remat=use_remat,
+                    start_block=2,
+                )
+                if "conv1_1" in s_weights:
+                    gram_overrides = {"conv1_1": g1}
+            # round-2 experimental kernel (explicit opt-in): even extents
+            # and W <= 1024 — the Mosaic toolchain crashes compiling it at
+            # W=2048 (ARCHITECTURE.md), so larger scales of a multi-scale
+            # ladder fall back to the XLA path.
+            elif (
                 fused_b1
                 and image.shape[1] % 2 == 0
                 and image.shape[2] % 2 == 0

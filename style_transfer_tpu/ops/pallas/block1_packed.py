@@ -1,0 +1,443 @@
+"""Fused VGG block 1 with W-pair-packed lanes — the round-3 attack on the
+conv1 relayout-copy ceiling.
+
+Profiled reality this kernel replaces (v5e, 1024px, per optimizer
+iteration): XLA:TPU runs conv1_1/conv1_2 in an ``(H, 8, W/8+1, 64)``
+internal form and surrounds them with ~7 ms of pure relayout copies of
+134-270 MB tensors, ~4 ms of unfused ReLU/mask passes, and a channel-major
+transpose feeding the conv1_1 Gram — ~21 ms for a block whose ideal HBM
+traffic is ~1.5 ms. An XLA-level reformulation (space-to-depth,
+``models/block1_s2d.py``) ties rather than wins: it trades the copies for
+blocking reshapes of the same tensors. The only way out is fusion — one
+pass from the image to pool1 with everything else resident in VMEM.
+
+Round 2's fused kernels (``block1.py``) lost for a *layout* reason this
+module fixes: tensors with 27 or 64 channels occupy 128-lane VMEM registers
+at 2-4.7x padding, capping the H-tile at 4-8 rows and driving the MXU at
+K=N=64 quarter efficiency against Mosaic's per-grid-step overhead. Here
+every heavy buffer packs TWO W-pixels per lane register:
+
+    packed[r, j, u*64 + c] = tensor[r, 2*j + u, c]        (lane = 128, dense)
+
+so VMEM holds 2x the rows, and in packed space
+
+- conv1_1 is ONE (M, 128) x (128, 128) matmul (the 3x3x3 patches arrive
+  pre-packed from XLA as 2x27-padded-to-2x64 lanes; K1' is block-diagonal);
+- conv1_2 is 9 taps of (M, 128) x (128, 128) — full 128-deep MXU
+  contractions (kernels scattered from k2; packed-column offsets -1/0/+1);
+- the conv1_1 Gram is a 128-wide syrk whose (64, 64) result is the sum of
+  its two diagonal blocks (Grams are pixel-permutation-invariant);
+- 2x2 average pooling is a 0.25-weighted (128, 64) matmul (the W-pair sum)
+  followed by an outer-dim row-pair sum — no strided windows anywhere.
+
+The forward reads the packed patches once and writes pool1, the packed
+conv1_1 activation (the backward residual and Gram source), and the
+conv1_2 ReLU mask (int8). The backward produces packed patch cotangents in
+one pass (transposed taps + Gram term + conv1_1 ReLU gate); XLA scatters
+them back to the image (col2im) outside — the padded lanes make the
+unpack a free reshape plus one slice.
+
+The reference computes this block inside Caffe's cuDNN kernels with no
+cross-layer fusion (SURVEY.md section 2 rows 8/15, reconstructed). Checked
+against the jnp oracle in ``tests/test_block1_packed.py`` (interpret mode
+off-TPU); dispatch is decided by in-context measurement in
+``api.StyleTransfer`` (ARCHITECTURE.md).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+C = 64  # block-1 channel width (VGG); packed lane width is 2*C = 128
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _tile_h(w: int) -> int:
+    """Rows per grid step: ~10-12 MB of VMEM across the packed buffers."""
+    return max(2, min(32, 8 * 1024 // max(w, 1)))
+
+
+# ------------------------------------------------------------ weight packing
+
+
+def _pack_k1(k1: jnp.ndarray, dtype) -> jnp.ndarray:
+    """(3, 3, 3, 64) conv1_1 kernel -> (128, 128) block-diagonal matmul
+    operand over packed patch lanes (u, tap) -> packed outputs (u, c_out)."""
+    flat = k1.reshape(27, C).astype(dtype)
+    out = jnp.zeros((2 * C, 2 * C), dtype)
+    for u in range(2):
+        out = out.at[u * C : u * C + 27, u * C : (u + 1) * C].set(flat)
+    return out
+
+
+def _pack_k2(k2: jnp.ndarray, dtype) -> jnp.ndarray:
+    """(3, 3, 64, 64) conv1_2 kernel -> (3, 3, 128, 128) packed tap stack.
+
+    Tap ``(dy, pi)`` (packed-column offset ``pi - 1``) carries
+    ``k2[dy, dx]`` in block ``(p, u)`` iff output pixel parity ``u`` reads
+    input parity ``p`` of that packed column: ``dx = 2*(pi-1) + p - u + 1``.
+    Half the blocks are structurally zero (2x FLOP redundancy — the price
+    of full 128-deep MXU contractions, ~0.4 ms at 1024px vs ~7 ms of
+    copies saved).
+    """
+    out = jnp.zeros((3, 3, 2 * C, 2 * C), dtype)
+    for dy in range(3):
+        for pi in range(3):
+            for p in range(2):
+                for u in range(2):
+                    dx = 2 * (pi - 1) + p - u + 1
+                    if 0 <= dx <= 2:
+                        out = out.at[
+                            dy, pi, p * C : (p + 1) * C, u * C : (u + 1) * C
+                        ].set(k2[dy, dx].astype(dtype))
+    return out
+
+
+def _pool_mat(dtype) -> jnp.ndarray:
+    """(128, 64) 0.25-weighted W-pair summer: the lane half of 2x2 pooling."""
+    eye = jnp.eye(C, dtype=dtype) * jnp.asarray(0.25, dtype)
+    return jnp.concatenate([eye, eye], axis=0)
+
+
+# ------------------------------------------------------- XLA-side transforms
+
+
+def _im2col_packed(x2d: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 3) image -> (H, W/2, 128) packed 3x3 SAME patches.
+
+    Lane = ``u*64 + (dy*3 + dx)*3 + ci`` (taps padded 27 -> 64 per parity).
+    Cheap XLA elementwise producers with no layout opinions; the final
+    lane-merge reshape is free because parity is adjacent-minor to tap.
+    """
+    h, w, c = x2d.shape
+    xp = jnp.pad(x2d, ((1, 1), (1, 1), (0, 0)))
+    taps = [
+        jax.lax.slice(xp, (dy, dx, 0), (dy + h, dx + w, c))
+        for dy in range(3)
+        for dx in range(3)
+    ]
+    p27 = jnp.concatenate(taps, axis=2)  # (H, W, 27)
+    p = p27.reshape(h, w // 2, 2, 27)
+    p = jnp.pad(p, ((0, 0), (0, 0), (0, 0), (0, C - 27)))
+    return p.reshape(h, w // 2, 2 * C)
+
+
+def _col2im_packed(dpt: jnp.ndarray, w: int) -> jnp.ndarray:
+    """(H, W/2, 128) packed patch cotangents -> (H, W, 3) image cotangent.
+
+    Unpack is a free reshape (parity adjacent-minor to tap) + one slice;
+    each tap then scatters back shifted (inverse of :func:`_im2col_packed`).
+    """
+    h = dpt.shape[0]
+    d27 = dpt.reshape(h, w // 2, 2, C)[:, :, :, :27].reshape(h, w, 27)
+    dx = jnp.zeros((h + 2, w + 2, 3), dpt.dtype)
+    for t in range(9):
+        dy, tx = divmod(t, 3)
+        comp = jax.lax.slice(d27, (0, 0, 3 * t), (h, w, 3 * t + 3))
+        dx = jax.lax.dynamic_update_slice(
+            dx, jax.lax.dynamic_slice(dx, (dy, tx, 0), (h, w, 3)) + comp,
+            (dy, tx, 0),
+        )
+    return dx[1:-1, 1:-1]
+
+
+# ------------------------------------------------------------------ kernels
+
+
+def _taps_packed(xh, k_ref, *, flip: bool, contract_out: bool):
+    """9 packed taps of a 3x3 conv over an H-extended packed tile.
+
+    ``xh``: (rows+2, W/2, 128) with one halo row above and below. Returns
+    (rows, W/2, 128) fp32. ``flip``/``contract_out`` select the transposed
+    (input-gradient) form. Packed-column shifts ride a zero-column concat
+    on the sublane axis — the zero column is exactly the W-edge padding
+    (out-of-image parities have structurally zero kernel blocks).
+    """
+    rows = xh.shape[0] - 2
+    w2 = xh.shape[1]
+    zcol = jnp.zeros((xh.shape[0], 1, xh.shape[2]), xh.dtype)
+    xw = jnp.concatenate([zcol, xh, zcol], axis=1)  # (rows+2, W/2+2, 128)
+    acc = None
+    for dy in range(3):
+        for pi in range(3):
+            patch = jax.lax.slice(xw, (dy, pi, 0), (dy + rows, pi + w2, xw.shape[2]))
+            k = k_ref[2 - dy, 2 - pi] if flip else k_ref[dy, pi]
+            dims = (((2,), (1,)), ((), ())) if contract_out else (((2,), (0,)), ((), ()))
+            term = jax.lax.dot_general(patch, k, dims, preferred_element_type=jnp.float32)
+            acc = term if acc is None else acc + term
+    return acc
+
+
+def _fwd_kernel(p_ref, pup_ref, pdown_ref, k1p_ref, b1p_ref, k2p_ref, b2p_ref,
+                pm_ref, pool_ref, gram_ref, r1_ref, mask2_ref, acc_ref,
+                *, true_h):
+    i = pl.program_id(0)
+    nt = pl.num_programs(0)
+    tile = p_ref.shape[0]
+    w2 = p_ref.shape[1]
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # packed patches on rows r0-1 .. r0+tile (1-row halos, zeroed at edges)
+    pup = jnp.where(i == 0, 0, pup_ref[0:1])
+    pdown = jnp.where(i == nt - 1, 0, pdown_ref[0:1])
+    pe = jnp.concatenate([pup, p_ref[:], pdown], axis=0)  # (tile+2, W/2, 128)
+
+    # conv1_1: one full-depth packed matmul; rows outside the true image
+    # are forced to zero (conv1_2's SAME padding + no Gram contribution).
+    y1e = jax.lax.dot_general(
+        pe, k1p_ref[:], (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    y1e = jnp.maximum(y1e + b1p_ref[0].astype(jnp.float32), 0.0)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, y1e.shape, 0) + i * tile - 1
+    y1e = jnp.where((row_ids < 0) | (row_ids >= true_h), 0.0, y1e).astype(r1_ref.dtype)
+    r1 = y1e[1:-1]
+    r1_ref[:] = r1
+
+    # conv1_2: 9 packed full-depth taps, fp32 tap-sum; ReLU mask saved
+    pre = _taps_packed(y1e, k2p_ref, flip=False, contract_out=False)
+    pre = pre + b2p_ref[0].astype(jnp.float32)
+    mask2_ref[:] = (pre > 0.0).astype(mask2_ref.dtype)
+    y2 = jnp.maximum(pre, 0.0)
+
+    # 2x2 average pool: lane half as a matmul, row half as an outer split
+    wsum = jax.lax.dot_general(
+        y2, pm_ref[:], (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (tile, W/2, 64), 0.25-weighted pair sums
+    wsum = wsum.reshape(tile // 2, 2, w2, C)
+    pool_ref[:] = (wsum[:, 0] + wsum[:, 1]).astype(pool_ref.dtype)
+
+    # conv1_1 Gram: 128-wide syrk; diagonal blocks summed in XLA afterwards
+    f = r1.reshape(tile * w2, 2 * C)
+    acc_ref[:] += jax.lax.dot_general(
+        f, f, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(i == nt - 1)
+    def _():
+        gram_ref[:] = acc_ref[:]
+
+
+def _bwd_kernel(r1_ref, m2_ref, m2up_ref, m2down_ref, dp_ref, dpup_ref,
+                dpdown_ref, k1p_ref, k2p_ref, sp_ref, dpt_ref):
+    """Packed patch cotangents for one tile: unpool -> conv1_2 ReLU gate ->
+    transposed packed taps -> + Gram term -> conv1_1 ReLU gate -> @ K1'^T."""
+    i = pl.program_id(0)
+    nt = pl.num_programs(0)
+    r1 = r1_ref[:]  # (tile, W/2, 128) bf16
+    tile, w2 = r1.shape[0], r1.shape[1]
+
+    m2e = jnp.concatenate([m2up_ref[0:1], m2_ref[:], m2down_ref[0:1]], axis=0)
+
+    # unpool the (lane-duplicated by the caller) pooled cotangent onto rows
+    # r0-1 .. r0+tile; 0.25 is the pool weight (folded forward into pm, so
+    # applied exactly once here).
+    dp_up = jnp.where(i == 0, 0, dpup_ref[0:1])
+    dp_down = jnp.where(i == nt - 1, 0, dpdown_ref[0:1])
+    dpx = jnp.concatenate([dp_up, dp_ref[:], dp_down], axis=0)  # (tile/2+2, W/2, 128)
+    r2 = dpx.shape[0]
+    dy2 = jnp.broadcast_to(dpx[:, None, :, :], (r2, 2, w2, 2 * C)).reshape(
+        r2 * 2, w2, 2 * C
+    )
+    dy2 = dy2[1:-1] * jnp.asarray(0.25, dpx.dtype)
+
+    da2 = (dy2 * m2e.astype(dy2.dtype)).astype(r1.dtype)
+    dr1 = _taps_packed(da2, k2p_ref, flip=True, contract_out=True)  # fp32
+
+    # Gram term: d_r1 += f @ S' (S' block-diagonal, prescaled outside)
+    f = r1.reshape(tile * w2, 2 * C)
+    g = jax.lax.dot_general(
+        f, sp_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).reshape(tile, w2, 2 * C)
+    gate = r1.astype(jnp.float32) > 0.0  # no bf16 vector compare on TPU
+    dpre1 = jnp.where(gate, dr1 + g, 0.0).astype(r1.dtype)
+
+    dpt_ref[:] = jax.lax.dot_general(
+        dpre1, k1p_ref[:], (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dpt_ref.dtype)
+
+
+# ------------------------------------------------------------ host wrappers
+
+
+def _halo_specs(w2: int, tile_rows: int, h: int):
+    """1-row halo blocks directly above/below each tile (H-axis blocks have
+    no sublane granularity constraint), edge-clamped."""
+
+    def up_index(i):
+        return (jnp.maximum(i * tile_rows - 1, 0), 0, 0)
+
+    def down_index(i):
+        return (jnp.minimum((i + 1) * tile_rows, h - 1), 0, 0)
+
+    return (
+        pl.BlockSpec((1, w2, 2 * C), up_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, w2, 2 * C), down_index, memory_space=pltpu.VMEM),
+    )
+
+
+def _pad_h(x2d: jnp.ndarray, tile: int):
+    h = x2d.shape[0]
+    pad = (-h) % (2 * tile)
+    if pad:
+        x2d = jnp.pad(x2d, ((0, pad),) + ((0, 0),) * (x2d.ndim - 1))
+    return x2d
+
+
+def _fwd(x2d, k1, b1, k2, b2, true_h):
+    """(H, W, 3) preprocessed image rows (H padded, W even) ->
+    (pool1 (H/2, W/2, 64), unnormalized gram128 (128, 128) fp32,
+    r1 packed, mask2 packed int8)."""
+    h, w, _ = x2d.shape
+    tile = _tile_h(w)
+    w2 = w // 2
+    dt = x2d.dtype
+    patches = _im2col_packed(x2d)
+    pup, pdown = _halo_specs(w2, tile, h)
+    grid = (h // tile,)
+    pool, gram, r1, mask2 = pl.pallas_call(
+        functools.partial(_fwd_kernel, true_h=true_h),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, w2, 2 * C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pup,
+            pdown,
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # K1' (128, 128)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b1 packed (1, 128)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # K2' (3, 3, 128, 128)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b2 packed (1, 128)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # pool matrix (128, 64)
+        ],
+        out_specs=[
+            pl.BlockSpec((tile // 2, w2, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * C, 2 * C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, w2, 2 * C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, w2, 2 * C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((h // 2, w2, C), dt),
+            jax.ShapeDtypeStruct((2 * C, 2 * C), jnp.float32),
+            jax.ShapeDtypeStruct((h, w2, 2 * C), dt),
+            jax.ShapeDtypeStruct((h, w2, 2 * C), jnp.int8),
+        ],
+        scratch_shapes=[pltpu.VMEM((2 * C, 2 * C), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * h * w2 * 2 * C * (2 * C + 9 * 2 * C + 2 * C),
+            bytes_accessed=patches.size * dt.itemsize
+            + 2 * h * w2 * 2 * C * dt.itemsize
+            + h * w2 * 2 * C,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(
+        patches, patches, patches,
+        _pack_k1(k1, dt), jnp.tile(b1.astype(dt), 2).reshape(1, -1),
+        _pack_k2(k2, dt), jnp.tile(b2.astype(dt), 2).reshape(1, -1),
+        _pool_mat(dt),
+    )
+    return pool, gram, r1, mask2
+
+
+def _bwd(r1p, mask2, k1, k2, d_pool, s):
+    """Packed one-pass backward -> (H, W, 3) image cotangent."""
+    h, w2, _ = r1p.shape
+    w = 2 * w2
+    tile = _tile_h(w)
+    dt = r1p.dtype
+    m2up, m2down = _halo_specs(w2, tile, h)
+    # lane-duplicate the pooled cotangent: packed d_y2 has the same value on
+    # both parities of a packed column (one pooled pixel covers both)
+    dp = jnp.concatenate([d_pool, d_pool], axis=-1).astype(dt)  # (H/2, W/2, 128)
+    dpup, dpdown = _halo_specs(w2, tile // 2, h // 2)
+    sp = jnp.zeros((2 * C, 2 * C), jnp.float32)
+    sp = sp.at[:C, :C].set(s).at[C:, C:].set(s)
+    dpt = pl.pallas_call(
+        _bwd_kernel,
+        grid=(h // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, w2, 2 * C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, w2, 2 * C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            m2up,
+            m2down,
+            pl.BlockSpec((tile // 2, w2, 2 * C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            dpup,
+            dpdown,
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # K1'
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # K2'
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # S'
+        ],
+        out_specs=pl.BlockSpec((tile, w2, 2 * C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, w2, 2 * C), dt),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * h * w2 * 2 * C * (9 * 2 * C + 2 * 2 * C),
+            bytes_accessed=3 * h * w2 * 2 * C * dt.itemsize,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(
+        r1p, mask2, mask2, mask2, dp, dp, dp,
+        _pack_k1(k1, dt), _pack_k2(k2, dt), sp.astype(dt),
+    )
+    return _col2im_packed(dpt, w)
+
+
+def _gram64(gram128: jnp.ndarray, hw: int) -> jnp.ndarray:
+    return (gram128[:C, :C] + gram128[C:, C:]) / jnp.float32(hw)
+
+
+@jax.custom_vjp
+def block1_packed(x: jnp.ndarray, k1, b1, k2, b2):
+    """Whole VGG block 1 fused, W-pair-packed: conv1_1 + ReLU + conv1_2 +
+    ReLU + 2x2 average pool, plus the conv1_1 Gram — from the preprocessed
+    (1, H, W, 3) image (H, W even). Returns ``(pool1 (1, H/2, W/2, 64),
+    gram (64, 64) fp32 / (H*W))``, matching the oracle composition
+    (``models/vgg.py`` + ``ops/losses.py``) to accumulation tolerance.
+    """
+    n, h, w, _ = x.shape
+    if n != 1 or h % 2 or w % 2:
+        raise ValueError("block1_packed expects (1, even H, even W, 3)")
+    pool, gram, _, _ = _fwd(_pad_h(x[0], _tile_h(w)), *_wargs(k1, b1, k2, b2), h)
+    return pool[None, : h // 2], _gram64(gram, h * w)
+
+
+def _wargs(k1, b1, k2, b2):
+    return k1, b1, k2, b2
+
+
+def _packed_fwd(x, k1, b1, k2, b2):
+    n, h, w, _ = x.shape
+    if n != 1 or h % 2 or w % 2:
+        raise ValueError("block1_packed expects (1, even H, even W, 3)")
+    pool, gram, r1p, mask2 = _fwd(_pad_h(x[0], _tile_h(w)), k1, b1, k2, b2, h)
+    out = (pool[None, : h // 2], _gram64(gram, h * w))
+    return out, (r1p, mask2, k1, k2, h)
+
+
+def _packed_bwd(res, cts):
+    r1p, mask2, k1, k2, h = res
+    d_pool, d_gram = cts
+    # gram = F^T F / (HW): d_r1 contribution = F (dG + dG^T) / (HW)
+    s = (d_gram + d_gram.T) / jnp.float32(h * (2 * r1p.shape[1]))
+    dp = d_pool[0]
+    if r1p.shape[0] != h:
+        dp = jnp.pad(dp, ((0, (r1p.shape[0] - h) // 2), (0, 0), (0, 0)))
+    dx = _bwd(r1p, mask2, k1, k2, dp, s)
+    # the image optimization never differentiates w.r.t. the VGG weights
+    return (dx[None, :h], jnp.zeros_like(k1), jnp.zeros((C,), k1.dtype),
+            jnp.zeros_like(k2), jnp.zeros((C,), k2.dtype))
+
+
+block1_packed.defvjp(_packed_fwd, _packed_bwd)

@@ -421,3 +421,23 @@ def test_metrics_summary_drops_first_chunk():
     assert s["per_scale_chunks_counted"][0] == 2
     # single-chunk scales keep their only sample
     assert s["per_scale_its_per_sec"][1] == pytest.approx(2.0)
+
+
+def test_packed_block1_end_to_end(st, images):
+    """packed_block1=True (forced; interpret mode off-TPU) must reproduce
+    the oracle stylization through the full API at tolerance; auto mode
+    stays off on the CPU backend."""
+    content, style = images
+    cfg_kw = dict(
+        iterations=(4,),
+        content_layers=("conv3_1",),
+        style_layers=("conv1_1", "conv2_1"),
+    )
+    assert not st._packed_block1_eligible(
+        StylizeConfig(**{**_small_cfg(**cfg_kw).__dict__, "use_fused": True})
+    )  # auto requires the TPU backend
+    out_packed = st.stylize(
+        content, style, _small_cfg(packed_block1=True, use_fused=True, **cfg_kw)
+    )
+    out_oracle = st.stylize(content, style, _small_cfg(**cfg_kw))
+    np.testing.assert_allclose(out_packed, out_oracle, rtol=1e-3, atol=1e-4)
