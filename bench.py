@@ -223,10 +223,19 @@ def main(argv=None) -> int:
             stop_patience=2,
             **cfg_kw,
         )
-        wall_4k, scales_4k = timed_run(cfg_4k, "4096px multi-scale (single run)")
-        extra["wallclock_4096px_multiscale"] = round(wall_4k, 2)
-        extra["per_scale_seconds_4096"] = {k: round(v, 2) for k, v in scales_4k.items()}
-        extra["iterations_4096"] = list(cfg_4k.iterations)
+        try:
+            wall_4k, scales_4k = timed_run(cfg_4k, "4096px multi-scale (single run)")
+        except Exception as e:
+            # The 4K step runs within ~1 GB of the v5e's HBM; a co-tenant
+            # burst on a shared chip can push it over. Report the failure
+            # honestly instead of losing the whole bench record.
+            log(f"4096px run failed: {type(e).__name__}: {e}")
+            extra["wallclock_4096px_multiscale"] = None
+            extra["error_4096"] = f"{type(e).__name__}: {e}"[:200]
+        else:
+            extra["wallclock_4096px_multiscale"] = round(wall_4k, 2)
+            extra["per_scale_seconds_4096"] = {k: round(v, 2) for k, v in scales_4k.items()}
+            extra["iterations_4096"] = list(cfg_4k.iterations)
 
     print(json.dumps({
         "metric": f"wallclock_{args.size}px_multiscale",

@@ -143,6 +143,17 @@ class StylizeConfig:
 #: Per-device pixel count at which StylizeConfig.remat=None turns itself on.
 REMAT_AUTO_PIXELS = 2560 * 2560
 
+def _pipeline_auto(cfg: "StylizeConfig", pixels_per_device: int) -> bool:
+    """The per-scale pipelining decision (shared by the optimize loop and
+    the background compile warmer so they request identical programs):
+    pipeline unless the in-flight records' state snapshots (a few
+    image-sized buffers each) would eat HBM headroom in the auto-remat
+    (memory-tight) regime."""
+    if cfg.pipeline_chunks is not None:
+        return cfg.pipeline_chunks
+    return pixels_per_device < REMAT_AUTO_PIXELS
+
+
 #: In-flight chunks in the pipelined optimize loop. Depth 1 still starves
 #: the device at small scales on high-latency transports (~3 host
 #: round-trips per chunk vs ~60 ms of device time per 256px chunk); depth 2
@@ -500,9 +511,11 @@ class StyleTransfer:
             return jnp.clip(show[0], 0.0, 1.0)
 
         @partial(
-            jax.jit, static_argnames="n", donate_argnames=("image", "ema", "opt_state")
+            jax.jit,
+            static_argnames=("n", "snapshot"),
+            donate_argnames=("image", "ema", "opt_state"),
         )
-        def run_chunk(params, image, ema, opt_state, c_targets, s_targets, *, n):
+        def run_chunk(params, image, ema, opt_state, c_targets, s_targets, *, n, snapshot):
             step, _ = make_step_fn(
                 lambda im: objective(params, im, c_targets, s_targets), cfg.optimizer
             )
@@ -521,22 +534,31 @@ class StyleTransfer:
             (image, ema, opt_state), loss_seq = jax.lax.scan(
                 body, (image, ema, opt_state), None, length=n
             )
-            # State snapshot emitted as extra outputs rather than a separate
-            # copy program: each dispatch is a full transport round-trip, and
-            # the chunk loop needs these to survive the NEXT chunk's donation
-            # (for ProgressEvent.get_state/get_image and the early-stop
-            # rollback). The snapshot is routed through optimization_barrier
-            # so it is a DISTINCT HLO value from the primary carries — buffer
-            # independence is guaranteed by construction, not by the backend
-            # happening to give duplicate outputs separate buffers (a future
-            # XLA that aliases identical outputs would otherwise break every
-            # pipelined run with "Array has been deleted").
-            snap_img, snap_ema, snap_opt = jax.lax.optimization_barrier(
-                (image, ema, opt_state)
-            )
-            return image, ema, opt_state, loss_seq, (
-                _snap(snap_img, snap_ema), snap_img, snap_ema, snap_opt
-            )
+            # snapshot=True (pipelined loop): state copies emitted as extra
+            # outputs rather than a separate copy program — each dispatch is
+            # a full transport round-trip, and the chunk loop needs these to
+            # survive the NEXT chunk's donation (ProgressEvent.get_state and
+            # the early-stop rollback). They are routed through
+            # optimization_barrier so they are DISTINCT HLO values from the
+            # primary carries — buffer independence by construction, not by
+            # the backend happening to give duplicate outputs separate
+            # buffers (a future XLA that aliases identical outputs would
+            # otherwise break every pipelined run with "Array has been
+            # deleted"). snapshot=False (sequential loop, the memory-tight
+            # auto-remat regime): the copies are image-sized buffers the 4K
+            # HBM budget cannot spare, and the loop processes each chunk
+            # BEFORE the next dispatch donates the primaries, so it reads
+            # the primary handles directly; only the clipped display image
+            # (async-safe get_image, e.g. the web monitor thread) is a
+            # dedicated output.
+            if snapshot:
+                snap_img, snap_ema, snap_opt = jax.lax.optimization_barrier(
+                    (image, ema, opt_state)
+                )
+                return image, ema, opt_state, loss_seq, (
+                    _snap(snap_img, snap_ema), snap_img, snap_ema, snap_opt
+                )
+            return image, ema, opt_state, loss_seq, (_snap(image, ema),)
 
         @partial(jax.jit, static_argnames="size")
         def upsample(image, *, size):
@@ -696,11 +718,12 @@ class StyleTransfer:
                     if cfg.avg_decay > 0
                     else jax.ShapeDtypeStruct((1, 1, 1, 3), jnp.float32)
                 )
+                snapshot = _pipeline_auto(cfg, h * w)  # warmer is mesh-None only
                 for n in sorted(set(chunk_lengths(scale.iterations, cfg.chunk_size))):
                     steps.append(
                         lambda n=n: run_chunk.lower(
                             params_aval, img_aval, ema_aval, opt_aval, c_t_aval,
-                            s_t_aval, n=n,
+                            s_t_aval, n=n, snapshot=snapshot,
                         ).compile()
                     )
                 for step in steps:
@@ -811,14 +834,7 @@ class StyleTransfer:
                 # and ProgressEvent.get_state reads the copies rather than
                 # the donated buffers.
                 n_dev = self.mesh.devices.size if self.mesh is not None else 1
-                # auto: pipeline unless the in-flight records' state
-                # snapshots (a few image-sized buffers each) would eat HBM
-                # headroom in the auto-remat (memory-tight) regime
-                pipeline = (
-                    cfg.pipeline_chunks
-                    if cfg.pipeline_chunks is not None
-                    else (h * w // n_dev) < REMAT_AUTO_PIXELS
-                )
+                pipeline = _pipeline_auto(cfg, h * w // n_dev)
 
                 prev_mean = None
                 stall = 0
@@ -905,10 +921,17 @@ class StyleTransfer:
                     if not queue:
                         t_prev = time.perf_counter()
                     image, ema, opt_state, loss_seq, state = run_chunk(
-                        self.params, image, ema, opt_state, c_targets, s_targets, n=n
+                        self.params, image, ema, opt_state, c_targets, s_targets,
+                        n=n, snapshot=pipeline,
                     )
                     done_iters += n
-                    snap, img_c, ema_c, opt_c = state
+                    if pipeline:
+                        snap, img_c, ema_c, opt_c = state
+                    else:
+                        # sequential: each chunk is processed before the next
+                        # dispatch donates these, so the primaries are safe
+                        (snap,) = state
+                        img_c, ema_c, opt_c = image, ema, opt_state
                     queue.append(
                         _PendingChunk(
                             n=n, done_iters=done_iters, loss_seq=loss_seq,

@@ -116,10 +116,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="process chunks sequentially instead of dispatching "
                         "one chunk ahead (bit-identical results; only host "
                         "scheduling differs)")
+    g.add_argument("--packed-block1", choices=["auto", "on", "off"], default="auto",
+                   help="the W-pair-packed fused block-1 Pallas kernel "
+                        "(auto: on for eligible single-device TPU runs — "
+                        "see ARCHITECTURE.md for measured numbers)")
     g.add_argument("--fused-block1", action="store_true",
-                   help="EXPERIMENTAL: run VGG block 1 through the fused "
-                        "Pallas kernel (measured slower in the full step on "
-                        "v5e — see ARCHITECTURE.md)")
+                   help="EXPERIMENTAL: run VGG block 1 through the round-2 "
+                        "fused Pallas kernel (measured slower in the full "
+                        "step on v5e — see ARCHITECTURE.md)")
     g.add_argument("--chunk-size", type=int, default=50,
                    help="optimizer steps per device dispatch / host sync")
     g.add_argument("--print-every", type=int, default=25)
@@ -270,6 +274,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         stop_tol=args.stop_tol,
         stop_patience=args.stop_patience,
         use_fused=not args.unfused,
+        packed_block1={"auto": None, "on": True, "off": False}[args.packed_block1],
         fused_block1=args.fused_block1,
         pipeline_chunks=False if args.no_pipeline else None,
         debug_checks=args.debug_checks,
