@@ -95,6 +95,13 @@ class StylizeConfig:
     # block-1 feature needs limited to conv1_1's Gram, non-remat regime).
     # True forces it (interpret mode off-TPU, tests), False disables.
     packed_block1: Optional[bool] = None
+    # Fused block-2 Pallas kernel (ops/pallas/block2.py): the same one-pass
+    # structure for conv2_1+ReLU+conv2_2+ReLU+avg-pool and the conv2_1
+    # Gram (block 2 was the post-block-1 profile leader at ~10 ms/it of
+    # T(2,128)-layout conv/ReLU fusions at 1024px — ARCHITECTURE.md).
+    # Composes downstream of the packed block-1 kernel and requires it to
+    # be active. Same tri-state semantics as packed_block1.
+    packed_block2: Optional[bool] = None
     # EXPERIMENTAL: run VGG block 1 through the round-2 fused Pallas kernel
     # (ops/pallas/block1.py — conv1_2+ReLU+avg-pool+conv1_1-Gram in one
     # pass). The kernel wins 2x standalone but XLA's layout assignment
@@ -352,6 +359,24 @@ class StyleTransfer:
             return False
         return self._block1_structurally_eligible(cfg)
 
+    def _packed_block2_eligible(self, cfg: StylizeConfig) -> bool:
+        """The fused block-2 kernel (ops/pallas/block2.py): requires the
+        packed block-1 kernel (it consumes that kernel's pool1 output) and
+        the analogous structural conditions one block deeper."""
+        if cfg.packed_block2 is False or not self._packed_block1_eligible(cfg):
+            return False
+        if cfg.packed_block2 is None and jax.default_backend() != "tpu":
+            return False
+        b2 = {"conv2_1", "conv2_2", "pool2"}
+        if set(cfg.content_layers) & b2:
+            return False
+        if set(cfg.style_layers) & (b2 - {"conv2_1"}):
+            return False
+        b12 = b2 | {"conv1_1", "conv1_2", "pool1"}
+        return any(
+            l not in b12 for l in list(cfg.content_layers) + list(cfg.style_layers)
+        )
+
     def _prog_key(self, cfg: StylizeConfig) -> str:
         """Program-cache key: exactly the fields that shape the traced
         computation (layers, loss weights, optimizer, fusion/remat choices) —
@@ -371,6 +396,7 @@ class StyleTransfer:
                 cfg.use_fused,
                 cfg.fused_block1,
                 cfg.packed_block1,
+                cfg.packed_block2,
                 cfg.remat,
                 cfg.avg_decay,
             )
@@ -401,6 +427,7 @@ class StyleTransfer:
 
         fused_b1 = self._block1_eligible(cfg)
         packed_b1 = self._packed_block1_eligible(cfg)
+        packed_b2 = self._packed_block2_eligible(cfg)
 
         def objective(params, image, c_targets, s_targets):
             image = mesh_mod.constrain_spatial(image, self.mesh)
@@ -430,20 +457,39 @@ class StyleTransfer:
                 pool1, g1 = B1P.block1_packed(
                     x, p1["kernel"], p1["bias"], p2["kernel"], p2["bias"]
                 )
-                deeper = tuple(l for l in all_layers if l != "conv1_1")
+                gram_overrides = {"conv1_1": g1} if "conv1_1" in s_weights else {}
+                covered = {"conv1_1"}
+                start_block, handoff = 2, pool1
+                # chain the fused block-2 kernel off block 1's pool output
+                # (post-block-1 profile leader; shape gate: even pooled dims)
+                if (
+                    packed_b2
+                    and pool1.shape[1] % 2 == 0
+                    and pool1.shape[2] % 2 == 0
+                ):
+                    from style_transfer_tpu.ops.pallas import block2 as B2F
+
+                    q1, q2 = params["conv2_1"], params["conv2_2"]
+                    pool2, g21 = B2F.block2_fused(
+                        pool1, q1["kernel"], q1["bias"], q2["kernel"], q2["bias"]
+                    )
+                    if "conv2_1" in s_weights:
+                        gram_overrides["conv2_1"] = g21
+                    covered.add("conv2_1")
+                    start_block, handoff = 3, pool2
+                deeper = tuple(l for l in all_layers if l not in covered)
                 feats = vgg_mod.extract_features(
                     params,
-                    pool1,
+                    handoff,
                     deeper,
                     pooling=self.pooling,
                     compute_dtype=None,
                     shard_divisor=None,
                     arch=self.arch,
                     remat=use_remat,
-                    start_block=2,
+                    start_block=start_block,
                 )
-                if "conv1_1" in s_weights:
-                    gram_overrides = {"conv1_1": g1}
+                gram_overrides = gram_overrides or None
             # round-2 experimental kernel (explicit opt-in): even extents
             # and W <= 1024 — the Mosaic toolchain crashes compiling it at
             # W=2048 (ARCHITECTURE.md), so larger scales of a multi-scale

@@ -32,10 +32,13 @@ so VMEM holds 2x the rows, and in packed space
 
 The forward reads the packed patches once and writes pool1, the packed
 conv1_1 activation (the backward residual and Gram source), and the
-conv1_2 ReLU mask (int8). The backward produces packed patch cotangents in
-one pass (transposed taps + Gram term + conv1_1 ReLU gate); XLA scatters
-them back to the image (col2im) outside — the padded lanes make the
-unpack a free reshape plus one slice.
+conv1_2 ReLU mask (int8). The backward writes the IMAGE cotangent directly
+in one pass: it computes the conv1_1 pre-activation cotangent on a
+row-extended tile (transposed conv1_2 taps + Gram term + both ReLU gates)
+and applies the transposed conv1_1 as 9 packed taps contracting to 8
+output lanes — profiling showed the earlier XLA col2im (9 serialized
+dynamic-update-slices on a lane-3 tensor) cost 2.5 ms/it at 1024px, more
+than both kernel passes combined.
 
 The reference computes this block inside Caffe's cuDNN kernels with no
 cross-layer fusion (SURVEY.md section 2 rows 8/15, reconstructed). Checked
@@ -105,6 +108,31 @@ def _pool_mat(dtype) -> jnp.ndarray:
     """(128, 64) 0.25-weighted W-pair summer: the lane half of 2x2 pooling."""
     eye = jnp.eye(C, dtype=dtype) * jnp.asarray(0.25, dtype)
     return jnp.concatenate([eye, eye], axis=0)
+
+
+def _pack_k1_t(k1: jnp.ndarray, dtype) -> jnp.ndarray:
+    """(3, 3, 3, 64) conv1_1 kernel -> (3, 3, 128, 8) transposed packed taps.
+
+    The backward computes the image cotangent IN-KERNEL (profiling showed
+    the XLA col2im — 9 serialized dynamic-update-slices on a lane-3 tensor
+    — cost 2.5 ms/it at 1024px, more than both kernels combined):
+    ``dx[r, w=2j+u, c] += dpre1[r+dy-1, 2(j+pi-1)+p, (p, co)] * k1[2-dy, b, c, co]``
+    with ``b = u + 3 - 2*pi - p`` when valid. Output lanes are ``u*4 + c``
+    (c < 3; 8 lanes total, unpacked to (H, W, 3) by a free reshape+slice).
+    """
+    out = jnp.zeros((3, 3, 2 * C, 8), dtype)
+    flat = k1.astype(dtype)  # (3, 3, 3, 64)
+    for dy in range(3):
+        for pi in range(3):
+            for p in range(2):
+                for u in range(2):
+                    b = u + 3 - 2 * pi - p
+                    if 0 <= b <= 2:
+                        # k1[2-dy, b] : (3, 64) -> block rows (p, co), cols (u, c)
+                        out = out.at[
+                            dy, pi, p * C : (p + 1) * C, u * 4 : u * 4 + 3
+                        ].set(flat[2 - dy, b].T)
+    return out
 
 
 # ------------------------------------------------------- XLA-side transforms
@@ -228,44 +256,62 @@ def _fwd_kernel(p_ref, pup_ref, pdown_ref, k1p_ref, b1p_ref, k2p_ref, b2p_ref,
         gram_ref[:] = acc_ref[:]
 
 
-def _bwd_kernel(r1_ref, m2_ref, m2up_ref, m2down_ref, dp_ref, dpup_ref,
-                dpdown_ref, k1p_ref, k2p_ref, sp_ref, dpt_ref):
-    """Packed patch cotangents for one tile: unpool -> conv1_2 ReLU gate ->
-    transposed packed taps -> + Gram term -> conv1_1 ReLU gate -> @ K1'^T."""
+def _bwd_kernel(r1_ref, r1up_ref, r1down_ref, m2_ref, m2u2_ref, m2u1_ref,
+                m2d1_ref, m2d2_ref, dp_ref, dpup_ref, dpdown_ref,
+                k1t_ref, k2p_ref, sp_ref, dx_ref, *, true_h):
+    """Image cotangent for one tile, fully in-kernel.
+
+    ``dpre1`` (the conv1_1 pre-activation cotangent) is computed on the
+    ROW-EXTENDED range r0-1 .. r0+tile — unpool -> conv1_2 ReLU gate ->
+    transposed packed conv1_2 taps -> + Gram term -> conv1_1 ReLU gate —
+    so the final transposed conv1_1 (9 packed taps contracting to 8 output
+    lanes, ``_pack_k1_t``) has its row halo locally and the kernel writes
+    d_image directly: no patch cotangents, no XLA col2im. The extension
+    costs 2 extra rows of taps per tile; the inputs carry 1-row (r1, pooled
+    cotangent) and 2-row (conv1_2 mask) halos.
+    """
     i = pl.program_id(0)
-    nt = pl.num_programs(0)
-    r1 = r1_ref[:]  # (tile, W/2, 128) bf16
-    tile, w2 = r1.shape[0], r1.shape[1]
+    tile, w2 = r1_ref.shape[0], r1_ref.shape[1]
 
-    m2e = jnp.concatenate([m2up_ref[0:1], m2_ref[:], m2down_ref[0:1]], axis=0)
+    # conv1_2 mask on rows r0-2 .. r0+tile+1 (tile+4)
+    m2e = jnp.concatenate(
+        [m2u2_ref[0:1], m2u1_ref[0:1], m2_ref[:], m2d1_ref[0:1], m2d2_ref[0:1]],
+        axis=0,
+    )
 
-    # unpool the (lane-duplicated by the caller) pooled cotangent onto rows
-    # r0-1 .. r0+tile; 0.25 is the pool weight (folded forward into pm, so
-    # applied exactly once here).
-    dp_up = jnp.where(i == 0, 0, dpup_ref[0:1])
-    dp_down = jnp.where(i == nt - 1, 0, dpdown_ref[0:1])
-    dpx = jnp.concatenate([dp_up, dp_ref[:], dp_down], axis=0)  # (tile/2+2, W/2, 128)
-    r2 = dpx.shape[0]
+    # unpool the (lane-duplicated by the caller) pooled cotangent onto the
+    # same rows; 0.25 is the pool weight (folded forward into pm, so
+    # applied exactly once here). Pooled halo rows cover image rows
+    # r0-2 .. r0+tile+1 exactly; edge-clamped halo garbage is zeroed by the
+    # row-range mask below.
+    dpx = jnp.concatenate([dpup_ref[0:1], dp_ref[:], dpdown_ref[0:1]], axis=0)
+    r2 = dpx.shape[0]  # tile/2 + 2
     dy2 = jnp.broadcast_to(dpx[:, None, :, :], (r2, 2, w2, 2 * C)).reshape(
         r2 * 2, w2, 2 * C
-    )
-    dy2 = dy2[1:-1] * jnp.asarray(0.25, dpx.dtype)
+    ) * jnp.asarray(0.25, dpx.dtype)  # (tile+4, W/2, 128), rows r0-2 ..
 
-    da2 = (dy2 * m2e.astype(dy2.dtype)).astype(r1.dtype)
-    dr1 = _taps_packed(da2, k2p_ref, flip=True, contract_out=True)  # fp32
+    rows4 = jax.lax.broadcasted_iota(jnp.int32, dy2.shape, 0) + i * tile - 2
+    da2 = dy2 * m2e.astype(dy2.dtype)
+    da2 = jnp.where((rows4 < 0) | (rows4 >= true_h), 0.0, da2).astype(r1_ref.dtype)
 
-    # Gram term: d_r1 += f @ S' (S' block-diagonal, prescaled outside)
-    f = r1.reshape(tile * w2, 2 * C)
+    # dpre1 on the extended rows r0-1 .. r0+tile
+    dr1 = _taps_packed(da2, k2p_ref, flip=True, contract_out=True)  # (tile+2,) fp32
+    r1e = jnp.concatenate([r1up_ref[0:1], r1_ref[:], r1down_ref[0:1]], axis=0)
+    f = r1e.reshape((tile + 2) * w2, 2 * C)
     g = jax.lax.dot_general(
         f, sp_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).reshape(tile, w2, 2 * C)
-    gate = r1.astype(jnp.float32) > 0.0  # no bf16 vector compare on TPU
-    dpre1 = jnp.where(gate, dr1 + g, 0.0).astype(r1.dtype)
+    ).reshape(tile + 2, w2, 2 * C)
+    gate = r1e.astype(jnp.float32) > 0.0  # no bf16 vector compare on TPU
+    dpre1 = jnp.where(gate, dr1 + g, 0.0)
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, dpre1.shape, 0) + i * tile - 1
+    dpre1 = jnp.where(
+        (rows2 < 0) | (rows2 >= true_h), 0.0, dpre1
+    ).astype(r1_ref.dtype)
 
-    dpt_ref[:] = jax.lax.dot_general(
-        dpre1, k1p_ref[:], (((2,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dpt_ref.dtype)
+    # transposed conv1_1 straight to packed image-cotangent lanes (u*4 + c)
+    dx_ref[:] = _taps_packed(dpre1, k1t_ref, flip=False, contract_out=False).astype(
+        dx_ref.dtype
+    )
 
 
 # ------------------------------------------------------------ host wrappers
@@ -349,49 +395,62 @@ def _fwd(x2d, k1, b1, k2, b2, true_h):
     return pool, gram, r1, mask2
 
 
-def _bwd(r1p, mask2, k1, k2, d_pool, s):
-    """Packed one-pass backward -> (H, W, 3) image cotangent."""
+def _row_halo(w2: int, lanes: int, h: int, row_fn):
+    """A single-row halo block whose element row is ``row_fn(i)``, clamped
+    to the array (H-axis blocks have no sublane granularity constraint;
+    clamped edge garbage is masked in-kernel by the row-range checks)."""
+    return pl.BlockSpec(
+        (1, w2, lanes),
+        lambda i: (jnp.clip(row_fn(i), 0, h - 1), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _bwd(r1p, mask2, k1, k2, d_pool, s, true_h):
+    """One-pass in-kernel backward -> (H_pad, W, 3) image cotangent."""
     h, w2, _ = r1p.shape
     w = 2 * w2
     tile = _tile_h(w)
     dt = r1p.dtype
-    m2up, m2down = _halo_specs(w2, tile, h)
     # lane-duplicate the pooled cotangent: packed d_y2 has the same value on
     # both parities of a packed column (one pooled pixel covers both)
     dp = jnp.concatenate([d_pool, d_pool], axis=-1).astype(dt)  # (H/2, W/2, 128)
-    dpup, dpdown = _halo_specs(w2, tile // 2, h // 2)
     sp = jnp.zeros((2 * C, 2 * C), jnp.float32)
     sp = sp.at[:C, :C].set(s).at[C:, C:].set(s)
-    dpt = pl.pallas_call(
-        _bwd_kernel,
+    center = lambda i: (i, 0, 0)
+    dx8 = pl.pallas_call(
+        functools.partial(_bwd_kernel, true_h=true_h),
         grid=(h // tile,),
         in_specs=[
-            pl.BlockSpec((tile, w2, 2 * C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, w2, 2 * C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            m2up,
-            m2down,
-            pl.BlockSpec((tile // 2, w2, 2 * C), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            dpup,
-            dpdown,
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # K1'
+            pl.BlockSpec((tile, w2, 2 * C), center, memory_space=pltpu.VMEM),
+            _row_halo(w2, 2 * C, h, lambda i: i * tile - 1),
+            _row_halo(w2, 2 * C, h, lambda i: (i + 1) * tile),
+            pl.BlockSpec((tile, w2, 2 * C), center, memory_space=pltpu.VMEM),
+            _row_halo(w2, 2 * C, h, lambda i: i * tile - 2),
+            _row_halo(w2, 2 * C, h, lambda i: i * tile - 1),
+            _row_halo(w2, 2 * C, h, lambda i: (i + 1) * tile),
+            _row_halo(w2, 2 * C, h, lambda i: (i + 1) * tile + 1),
+            pl.BlockSpec((tile // 2, w2, 2 * C), center, memory_space=pltpu.VMEM),
+            _row_halo(w2, 2 * C, h // 2, lambda i: i * (tile // 2) - 1),
+            _row_halo(w2, 2 * C, h // 2, lambda i: (i + 1) * (tile // 2)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # K1^T packed (3,3,128,8)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # K2'
             pl.BlockSpec(memory_space=pltpu.VMEM),  # S'
         ],
-        out_specs=pl.BlockSpec((tile, w2, 2 * C), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h, w2, 2 * C), dt),
+        out_specs=pl.BlockSpec((tile, w2, 8), center, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, w2, 8), dt),
         cost_estimate=pl.CostEstimate(
-            flops=2 * h * w2 * 2 * C * (9 * 2 * C + 2 * 2 * C),
+            flops=2 * h * w2 * 2 * C * (9 * 2 * C + 2 * 2 * C + 9 * 8),
             bytes_accessed=3 * h * w2 * 2 * C * dt.itemsize,
             transcendentals=0,
         ),
         interpret=_interpret(),
     )(
-        r1p, mask2, mask2, mask2, dp, dp, dp,
-        _pack_k1(k1, dt), _pack_k2(k2, dt), sp.astype(dt),
+        r1p, r1p, r1p, mask2, mask2, mask2, mask2, mask2, dp, dp, dp,
+        _pack_k1_t(k1, dt), _pack_k2(k2, dt), sp.astype(dt),
     )
-    return _col2im_packed(dpt, w)
+    # unpack lanes (u*4 + c, c < 3) -> (H, W, 3): free reshape + one slice
+    return dx8.reshape(h, w2, 2, 4)[:, :, :, :3].reshape(h, w, 3)
 
 
 def _gram64(gram128: jnp.ndarray, hw: int) -> jnp.ndarray:
@@ -434,7 +493,7 @@ def _packed_bwd(res, cts):
     dp = d_pool[0]
     if r1p.shape[0] != h:
         dp = jnp.pad(dp, ((0, (r1p.shape[0] - h) // 2), (0, 0), (0, 0)))
-    dx = _bwd(r1p, mask2, k1, k2, dp, s)
+    dx = _bwd(r1p, mask2, k1, k2, dp, s, h)
     # the image optimization never differentiates w.r.t. the VGG weights
     return (dx[None, :h], jnp.zeros_like(k1), jnp.zeros((C,), k1.dtype),
             jnp.zeros_like(k2), jnp.zeros((C,), k2.dtype))

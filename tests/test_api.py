@@ -441,3 +441,23 @@ def test_packed_block1_end_to_end(st, images):
     )
     out_oracle = st.stylize(content, style, _small_cfg(**cfg_kw))
     np.testing.assert_allclose(out_packed, out_oracle, rtol=1e-3, atol=1e-4)
+
+
+def test_packed_block2_end_to_end(st, images):
+    """packed_block1+packed_block2 forced (interpret mode off-TPU) must
+    reproduce the oracle stylization through the full API; block 2 engages
+    only when the pooled dims are even (size 48 -> pool1 24x21? no — use a
+    multiple-of-4 size so the gate opens)."""
+    content, style = images
+    cfg_kw = dict(
+        size=(48, 40),  # pool1 24x20: even -> block-2 gate open
+        iterations=(4,),
+        content_layers=("conv3_1",),
+        style_layers=("conv1_1", "conv2_1"),
+    )
+    out_packed = st.stylize(
+        content, style,
+        _small_cfg(packed_block1=True, packed_block2=True, use_fused=True, **cfg_kw),
+    )
+    out_oracle = st.stylize(content, style, _small_cfg(**cfg_kw))
+    np.testing.assert_allclose(out_packed, out_oracle, rtol=2e-3, atol=2e-4)
