@@ -63,9 +63,17 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _tile_h(w: int) -> int:
-    """Rows per grid step: ~10-12 MB of VMEM across the packed buffers."""
-    return max(2, min(32, 8 * 1024 // max(w, 1)))
+def _tile_h(w: int, backward: bool = False) -> int:
+    """Rows per grid step: ~10-12 MB of VMEM across the packed buffers.
+
+    The backward holds more live rows (the +-2-row extension, the unpool
+    intermediates, and the fp32 dpre accumulator), and at W=2048 measured
+    236 KB over the 16 MB scoped-VMEM limit at the forward tile — so wide
+    backwards halve the tile."""
+    t = max(2, min(32, 8 * 1024 // max(w, 1)))
+    if backward and w > 1024:
+        t = max(2, t // 2)
+    return t
 
 
 # ------------------------------------------------------------ weight packing
@@ -410,7 +418,7 @@ def _bwd(r1p, mask2, k1, k2, d_pool, s, true_h):
     """One-pass in-kernel backward -> (H_pad, W, 3) image cotangent."""
     h, w2, _ = r1p.shape
     w = 2 * w2
-    tile = _tile_h(w)
+    tile = _tile_h(w, backward=True)
     dt = r1p.dtype
     # lane-duplicate the pooled cotangent: packed d_y2 has the same value on
     # both parities of a packed column (one pooled pixel covers both)

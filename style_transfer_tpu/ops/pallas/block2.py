@@ -193,7 +193,7 @@ def _fwd(pool1, k1, b1, k2, b2, true_h):
 
 def _bwd(r1, mask2, k1, k2, d_pool2, s, true_h):
     h, w, _ = r1.shape
-    tile = _tile_h(2 * w)
+    tile = _tile_h(2 * w, backward=True)
     dt = r1.dtype
     dp = jnp.repeat(d_pool2, 2, axis=1).astype(dt)  # W-duplicate -> (h/2, w, 128)
     center = lambda i: (i, 0, 0)
