@@ -102,6 +102,16 @@ class StylizeConfig:
     # Composes downstream of the packed block-1 kernel and requires it to
     # be active. Same tri-state semantics as packed_block1.
     packed_block2: Optional[bool] = None
+    # Fused block-3 kernels (ops/pallas/conv_pair.py): VGG-19's 4-conv
+    # block 3 as two fused conv pairs — conv3_1+conv3_2 with the conv3_1
+    # Gram, then conv3_3+conv3_4 with the pool. Once blocks 1-2 were
+    # fused, ~6.8 ms/it of T(2,128)-layout relayout forms clustered at the
+    # pool2-to-conv3_1 custom-call boundary; chaining pairs is free
+    # (custom-call operands and results are all row-major), so fusing
+    # block 3 pushes the boundary tax to quarter resolution. VGG-19 only
+    # (VGG-16's 3-conv block 3 doesn't split into pairs); requires
+    # packed_block2. Same tri-state semantics.
+    packed_block3: Optional[bool] = None
     # EXPERIMENTAL: run VGG block 1 through the round-2 fused Pallas kernel
     # (ops/pallas/block1.py — conv1_2+ReLU+avg-pool+conv1_1-Gram in one
     # pass). The kernel wins 2x standalone but XLA's layout assignment
@@ -377,6 +387,27 @@ class StyleTransfer:
             l not in b12 for l in list(cfg.content_layers) + list(cfg.style_layers)
         )
 
+    def _packed_block3_eligible(self, cfg: StylizeConfig) -> bool:
+        """The fused block-3 conv pairs (ops/pallas/conv_pair.py): require
+        the block-2 kernel upstream, the 4-conv VGG-19 block shape, and
+        the analogous structural conditions one block deeper."""
+        if cfg.packed_block3 is False or not self._packed_block2_eligible(cfg):
+            return False
+        if cfg.packed_block3 is None and jax.default_backend() != "tpu":
+            return False
+        if self.arch != "vgg19":
+            return False
+        b3 = {"conv3_1", "conv3_2", "conv3_3", "conv3_4", "pool3"}
+        if set(cfg.content_layers) & b3:
+            return False
+        if set(cfg.style_layers) & (b3 - {"conv3_1"}):
+            return False
+        shallow = b3 | {"conv1_1", "conv1_2", "pool1", "conv2_1", "conv2_2", "pool2"}
+        return any(
+            l not in shallow
+            for l in list(cfg.content_layers) + list(cfg.style_layers)
+        )
+
     def _prog_key(self, cfg: StylizeConfig) -> str:
         """Program-cache key: exactly the fields that shape the traced
         computation (layers, loss weights, optimizer, fusion/remat choices) —
@@ -397,6 +428,7 @@ class StyleTransfer:
                 cfg.fused_block1,
                 cfg.packed_block1,
                 cfg.packed_block2,
+                cfg.packed_block3,
                 cfg.remat,
                 cfg.avg_decay,
             )
@@ -428,6 +460,7 @@ class StyleTransfer:
         fused_b1 = self._block1_eligible(cfg)
         packed_b1 = self._packed_block1_eligible(cfg)
         packed_b2 = self._packed_block2_eligible(cfg)
+        packed_b3 = self._packed_block3_eligible(cfg)
 
         def objective(params, image, c_targets, s_targets):
             image = mesh_mod.constrain_spatial(image, self.mesh)
@@ -477,6 +510,28 @@ class StyleTransfer:
                         gram_overrides["conv2_1"] = g21
                     covered.add("conv2_1")
                     start_block, handoff = 3, pool2
+                    # ... and block 3 as two fused conv pairs off pool2
+                    if (
+                        packed_b3
+                        and pool2.shape[1] % 2 == 0
+                        and pool2.shape[2] % 2 == 0
+                    ):
+                        from style_transfer_tpu.ops.pallas import conv_pair as CP
+
+                        w31, w32 = params["conv3_1"], params["conv3_2"]
+                        w33, w34 = params["conv3_3"], params["conv3_4"]
+                        y32, g31 = CP.pair_gram(
+                            pool2, w31["kernel"], w31["bias"],
+                            w32["kernel"], w32["bias"],
+                        )
+                        pool3 = CP.pair_pool(
+                            y32, w33["kernel"], w33["bias"],
+                            w34["kernel"], w34["bias"],
+                        )
+                        if "conv3_1" in s_weights:
+                            gram_overrides["conv3_1"] = g31
+                        covered.add("conv3_1")
+                        start_block, handoff = 4, pool3
                 deeper = tuple(l for l in all_layers if l not in covered)
                 feats = vgg_mod.extract_features(
                     params,

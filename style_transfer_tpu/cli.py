@@ -123,6 +123,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--packed-block2", choices=["auto", "on", "off"], default="auto",
                    help="the fused block-2 Pallas kernel (chains off the "
                         "packed block-1 kernel; same auto semantics)")
+    g.add_argument("--packed-block3", choices=["auto", "on", "off"], default="auto",
+                   help="the fused block-3 conv-pair Pallas kernels "
+                        "(VGG-19 only; chains off block 2; same semantics)")
     g.add_argument("--fused-block1", action="store_true",
                    help="EXPERIMENTAL: run VGG block 1 through the round-2 "
                         "fused Pallas kernel (measured slower in the full "
@@ -279,6 +282,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         use_fused=not args.unfused,
         packed_block1={"auto": None, "on": True, "off": False}[args.packed_block1],
         packed_block2={"auto": None, "on": True, "off": False}[args.packed_block2],
+        packed_block3={"auto": None, "on": True, "off": False}[args.packed_block3],
         fused_block1=args.fused_block1,
         pipeline_chunks=False if args.no_pipeline else None,
         debug_checks=args.debug_checks,

@@ -461,3 +461,22 @@ def test_packed_block2_end_to_end(st, images):
     )
     out_oracle = st.stylize(content, style, _small_cfg(**cfg_kw))
     np.testing.assert_allclose(out_packed, out_oracle, rtol=2e-3, atol=2e-4)
+
+
+def test_packed_block3_end_to_end(st, images):
+    """The full packed chain (blocks 1-3 forced; interpret mode off-TPU)
+    must reproduce the oracle stylization through the public API."""
+    content, style = images
+    cfg_kw = dict(
+        size=(48, 40),  # pool2 12x10: even -> block-3 gate open
+        iterations=(3,),
+        content_layers=("conv4_2",),
+        style_layers=("conv1_1", "conv2_1", "conv3_1", "conv4_1"),
+    )
+    out_packed = st.stylize(
+        content, style,
+        _small_cfg(packed_block1=True, packed_block2=True, packed_block3=True,
+                   use_fused=True, **cfg_kw),
+    )
+    out_oracle = st.stylize(content, style, _small_cfg(**cfg_kw))
+    np.testing.assert_allclose(out_packed, out_oracle, rtol=2e-3, atol=3e-4)

@@ -1,0 +1,111 @@
+"""The generalized fused conv-pair kernels (ops/pallas/conv_pair.py) must
+reproduce the oracle compositions — values and input gradients — for both
+epilogue configurations, including the two-pair chain that covers VGG-19's
+4-conv block 3. Interpret mode on CPU; seeds keep pre-activations away
+from ReLU knife edges (see tests/test_block2.py for why).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from style_transfer_tpu.models import vgg as V
+from style_transfer_tpu.ops import losses as L
+from style_transfer_tpu.ops.pallas import conv_pair as CP
+
+
+def _w(r, cin, cout, scale=0.05):
+    return (
+        jnp.asarray(r.randn(3, 3, cin, cout).astype(np.float32) * scale),
+        jnp.asarray(r.randn(cout).astype(np.float32) * 0.1),
+    )
+
+
+def test_pair_gram_matches_oracle():
+    r = np.random.RandomState(5)
+    k1, b1 = _w(r, 128, 256)
+    k2, b2 = _w(r, 256, 256)
+    x = jnp.asarray(r.randn(1, 10, 14, 128).astype(np.float32) * 0.3)
+    y1 = jax.nn.relu(V._conv(x, k1, b1))
+    y2_ref = jax.nn.relu(V._conv(y1, k2, b2))
+    g_ref = L.gram_matrix(y1)
+    (y2_k, g_k) = jax.jit(lambda x: CP.pair_gram(x, k1, b1, k2, b2))(x)
+    assert y2_k.shape == y2_ref.shape
+    np.testing.assert_allclose(np.asarray(y2_k), np.asarray(y2_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_pair_pool_matches_oracle():
+    r = np.random.RandomState(6)
+    k1, b1 = _w(r, 256, 256)
+    k2, b2 = _w(r, 256, 256)
+    x = jnp.asarray(r.randn(1, 12, 8, 256).astype(np.float32) * 0.3)
+    y1 = jax.nn.relu(V._conv(x, k1, b1))
+    p_ref = V._pool(jax.nn.relu(V._conv(y1, k2, b2)), "average", None)
+    p_k = jax.jit(lambda x: CP.pair_pool(x, k1, b1, k2, b2))(x)
+    assert p_k.shape == p_ref.shape == (1, 6, 4, 256)
+    np.testing.assert_allclose(np.asarray(p_k), np.asarray(p_ref), atol=1e-4)
+
+
+def test_block3_chain_gradient_matches_oracle():
+    """pair_gram -> pair_pool == VGG-19 block 3 (4 convs + pool + conv3_1
+    Gram): values and the input gradient."""
+    r = np.random.RandomState(14)
+    k1, b1 = _w(r, 64, 128)   # stand-in widths (same structure, smaller)
+    k2, b2 = _w(r, 128, 128)
+    k3, b3 = _w(r, 128, 128)
+    k4, b4 = _w(r, 128, 128)
+    x = jnp.asarray(r.randn(1, 12, 16, 64).astype(np.float32) * 0.3)
+
+    def loss_oracle(x):
+        y1 = jax.nn.relu(V._conv(x, k1, b1))
+        y2 = jax.nn.relu(V._conv(y1, k2, b2))
+        y3 = jax.nn.relu(V._conv(y2, k3, b3))
+        y4 = jax.nn.relu(V._conv(y3, k4, b4))
+        p = V._pool(y4, "average", None)
+        return jnp.sum(p.astype(jnp.float32) ** 2) + 10.0 * jnp.sum(L.gram_matrix(y1) ** 2)
+
+    def loss_k(x):
+        y2, g = CP.pair_gram(x, k1, b1, k2, b2)
+        p = CP.pair_pool(y2, k3, b3, k4, b4)
+        return jnp.sum(p.astype(jnp.float32) ** 2) + 10.0 * jnp.sum(g**2)
+
+    # knife-edge precondition (see tests/test_block2.py)
+    y1 = jax.nn.relu(V._conv(x, k1, b1))
+    y2 = jax.nn.relu(V._conv(y1, k2, b2))
+    y3 = jax.nn.relu(V._conv(y2, k3, b3))
+    pres = [V._conv(x, k1, b1), V._conv(y1, k2, b2), V._conv(y2, k3, b3),
+            V._conv(y3, k4, b4)]
+    margin = min(float(jnp.min(jnp.abs(p))) for p in pres)
+    assert margin > 2e-6, f"pick another seed (margin {margin:.1e})"
+
+    v1, g1 = jax.jit(jax.value_and_grad(loss_oracle))(x)
+    v2, g2 = jax.jit(jax.value_and_grad(loss_k))(x)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-5)
+    scale = float(jnp.max(jnp.abs(g1)))
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=2e-5 * max(1.0, scale))
+
+
+def test_pair_pool_gram_matches_block2_kernel():
+    """The generalized pair with pool+gram reproduces the dedicated block-2
+    kernel (same structure, shared tile tables)."""
+    from style_transfer_tpu.ops.pallas import block2 as B2
+
+    r = np.random.RandomState(7)
+    k1, b1 = _w(r, 64, 128)
+    k2, b2 = _w(r, 128, 128)
+    x = jnp.asarray(r.randn(1, 8, 12, 64).astype(np.float32) * 0.3)
+    pair = CP.make_conv_pair(pool=True, gram=True)
+    (p_a, g_a) = jax.jit(lambda x: pair(x, k1, b1, k2, b2))(x)
+    (p_b, g_b) = jax.jit(lambda x: B2.block2_fused(x, k1, b1, k2, b2))(x)
+    np.testing.assert_allclose(np.asarray(p_a), np.asarray(p_b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_b), rtol=1e-6, atol=1e-6)
+
+
+def test_shape_validation():
+    r = np.random.RandomState(8)
+    k1, b1 = _w(r, 64, 128)
+    k2, b2 = _w(r, 128, 128)
+    with pytest.raises(ValueError, match="even"):
+        CP.pair_pool(jnp.zeros((1, 15, 16, 256)), *_w(r, 256, 256), *_w(r, 256, 256))
