@@ -140,6 +140,12 @@ def main(argv=None) -> int:
 
     # The headline: full coarse-to-fine run to `--size`, convergence-matched
     # early stopping per scale.
+    # chunk_size 25 everywhere: every (shape, chunk-length) program is
+    # shared between the 2048 and 4096 ladders (75 = 3x25), so the warm
+    # pass covers both and no cold compile of the kernel-heavy programs
+    # (~60-90 s each) can land inside a timed run. A chunk_size-50
+    # experiment measured no wall-clock benefit and added exactly such a
+    # cold-compile surface.
     cfg = StylizeConfig(
         size=args.size,
         min_scale=256,

@@ -112,6 +112,12 @@ class StylizeConfig:
     # (VGG-16's 3-conv block 3 doesn't split into pairs); requires
     # packed_block2. Same tri-state semantics.
     packed_block3: Optional[bool] = None
+    # Fused block-4 front pair: conv4_1+conv4_2 as one conv-pair kernel
+    # whose outputs are exactly the objective's needs there — conv4_2's
+    # activation (the classic content layer) and conv4_1's style Gram; the
+    # remaining block-4 convs resume in XLA via extract_features'
+    # start_conv. Requires packed_block3; same tri-state semantics.
+    packed_block4: Optional[bool] = None
     # EXPERIMENTAL: run VGG block 1 through the round-2 fused Pallas kernel
     # (ops/pallas/block1.py — conv1_2+ReLU+avg-pool+conv1_1-Gram in one
     # pass). The kernel wins 2x standalone but XLA's layout assignment
@@ -408,6 +414,21 @@ class StyleTransfer:
             for l in list(cfg.content_layers) + list(cfg.style_layers)
         )
 
+    def _packed_block4_eligible(self, cfg: StylizeConfig) -> bool:
+        """The fused block-4 front pair (conv4_1+conv4_2): requires the
+        block-3 pairs upstream. conv4_2's activation IS one of the pair's
+        outputs, so it may appear in content or style layers; conv4_1
+        exists only as its Gram (style ok, content not)."""
+        if cfg.packed_block4 is False or not self._packed_block3_eligible(cfg):
+            return False
+        if cfg.packed_block4 is None and jax.default_backend() != "tpu":
+            return False
+        if "conv4_1" in cfg.content_layers:
+            return False
+        # anything deeper than conv4_2 resumes in XLA via start_conv, so
+        # no other structural restriction applies
+        return True
+
     def _prog_key(self, cfg: StylizeConfig) -> str:
         """Program-cache key: exactly the fields that shape the traced
         computation (layers, loss weights, optimizer, fusion/remat choices) —
@@ -429,6 +450,7 @@ class StyleTransfer:
                 cfg.packed_block1,
                 cfg.packed_block2,
                 cfg.packed_block3,
+                cfg.packed_block4,
                 cfg.remat,
                 cfg.avg_decay,
             )
@@ -461,6 +483,7 @@ class StyleTransfer:
         packed_b1 = self._packed_block1_eligible(cfg)
         packed_b2 = self._packed_block2_eligible(cfg)
         packed_b3 = self._packed_block3_eligible(cfg)
+        packed_b4 = self._packed_block4_eligible(cfg)
 
         def objective(params, image, c_targets, s_targets):
             image = mesh_mod.constrain_spatial(image, self.mesh)
@@ -492,7 +515,7 @@ class StyleTransfer:
                 )
                 gram_overrides = {"conv1_1": g1} if "conv1_1" in s_weights else {}
                 covered = {"conv1_1"}
-                start_block, handoff = 2, pool1
+                start_block, handoff, start_conv = 2, pool1, 0
                 # chain the fused block-2 kernel off block 1's pool output
                 # (post-block-1 profile leader; shape gate: even pooled dims)
                 if (
@@ -532,18 +555,40 @@ class StyleTransfer:
                             gram_overrides["conv3_1"] = g31
                         covered.add("conv3_1")
                         start_block, handoff = 4, pool3
+                        # ... and block 4's front pair: conv4_1+conv4_2 —
+                        # its two outputs are exactly the objective's needs
+                        # there (conv4_2's activation for the content loss,
+                        # conv4_1's Gram for the style loss)
+                        if packed_b4:
+                            w41, w42 = params["conv4_1"], params["conv4_2"]
+                            y42, g41 = CP.pair_gram(
+                                pool3, w41["kernel"], w41["bias"],
+                                w42["kernel"], w42["bias"],
+                            )
+                            if "conv4_1" in s_weights:
+                                gram_overrides["conv4_1"] = g41
+                            covered.update(("conv4_1", "conv4_2"))
+                            start_block, handoff = 4, y42
+                            start_conv = 2
                 deeper = tuple(l for l in all_layers if l not in covered)
-                feats = vgg_mod.extract_features(
-                    params,
-                    handoff,
-                    deeper,
-                    pooling=self.pooling,
-                    compute_dtype=None,
-                    shard_divisor=None,
-                    arch=self.arch,
-                    remat=use_remat,
-                    start_block=start_block,
-                )
+                if deeper:
+                    feats = vgg_mod.extract_features(
+                        params,
+                        handoff,
+                        deeper,
+                        pooling=self.pooling,
+                        compute_dtype=None,
+                        shard_divisor=None,
+                        arch=self.arch,
+                        remat=use_remat,
+                        start_block=start_block,
+                        start_conv=start_conv,
+                    )
+                else:
+                    feats = {}
+                if start_conv and "conv4_2" in all_layers:
+                    feats = dict(feats)
+                    feats["conv4_2"] = y42
                 gram_overrides = gram_overrides or None
             # round-2 experimental kernel (explicit opt-in): even extents
             # and W <= 1024 — the Mosaic toolchain crashes compiling it at

@@ -126,6 +126,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--packed-block3", choices=["auto", "on", "off"], default="auto",
                    help="the fused block-3 conv-pair Pallas kernels "
                         "(VGG-19 only; chains off block 2; same semantics)")
+    g.add_argument("--packed-block4", choices=["auto", "on", "off"], default="auto",
+                   help="the fused block-4 front pair (conv4_1+conv4_2: the "
+                        "content activation + conv4_1 Gram; same semantics)")
     g.add_argument("--fused-block1", action="store_true",
                    help="EXPERIMENTAL: run VGG block 1 through the round-2 "
                         "fused Pallas kernel (measured slower in the full "
@@ -283,6 +286,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         packed_block1={"auto": None, "on": True, "off": False}[args.packed_block1],
         packed_block2={"auto": None, "on": True, "off": False}[args.packed_block2],
         packed_block3={"auto": None, "on": True, "off": False}[args.packed_block3],
+        packed_block4={"auto": None, "on": True, "off": False}[args.packed_block4],
         fused_block1=args.fused_block1,
         pipeline_chunks=False if args.no_pipeline else None,
         debug_checks=args.debug_checks,

@@ -211,6 +211,7 @@ def extract_features(
     arch: str = DEFAULT_ARCH,
     remat: bool = False,
     start_block: int = 1,
+    start_conv: int = 0,
 ) -> Dict[str, jnp.ndarray]:
     """Run a VGG variant on preprocessed NHWC input, returning requested
     activations.
@@ -219,7 +220,11 @@ def extract_features(
     ``start_block - 1`` and runs only the remaining blocks — the entry
     point for fused front-block kernels (``ops/pallas/block1.py``), which
     hand over the pool output and take responsibility for every earlier
-    activation.
+    activation. ``start_conv > 0`` additionally treats ``x`` as the
+    post-ReLU output of that many convs *within* the start block (a fused
+    kernel that ends mid-block, e.g. a conv pair covering
+    conv4_1+conv4_2, hands over conv4_2's activation and the remaining
+    convs of the block run here).
 
     Truncates the forward at the deepest requested layer. Activations are
     returned in ``compute_dtype`` (callers' losses upcast where fp32
@@ -251,7 +256,8 @@ def extract_features(
     for b, n, _ in blocks(arch):
         if b < start_block:
             continue
-        names = [f"conv{b}_{i}" for i in range(1, n + 1)]
+        skip = start_conv if b == start_block else 0
+        names = [f"conv{b}_{i}" for i in range(skip + 1, n + 1)]
         pool_name = f"pool{b}"
         block_stop = stop if (stop in names or stop == pool_name) else None
 

@@ -480,3 +480,42 @@ def test_packed_block3_end_to_end(st, images):
     )
     out_oracle = st.stylize(content, style, _small_cfg(**cfg_kw))
     np.testing.assert_allclose(out_packed, out_oracle, rtol=2e-3, atol=3e-4)
+
+
+def test_packed_block4_end_to_end(st, images):
+    """The full packed chain through block 4's front pair (forced;
+    interpret mode off-TPU): conv4_2 content comes from the pair's own
+    output, conv4_1's Gram from its override."""
+    content, style = images
+    cfg_kw = dict(
+        size=(48, 40),
+        iterations=(3,),
+        content_layers=("conv4_2",),
+        style_layers=("conv1_1", "conv2_1", "conv3_1", "conv4_1", "conv5_1"),
+    )
+    out_packed = st.stylize(
+        content, style,
+        _small_cfg(packed_block1=True, packed_block2=True, packed_block3=True,
+                   packed_block4=True, use_fused=True, **cfg_kw),
+    )
+    out_oracle = st.stylize(content, style, _small_cfg(**cfg_kw))
+    np.testing.assert_allclose(out_packed, out_oracle, rtol=2e-3, atol=3e-4)
+
+
+def test_packed_block4_no_deeper_layers(st, images):
+    """conv4_2 as the deepest layer: the extract_features call is skipped
+    entirely (everything comes from kernels)."""
+    content, style = images
+    cfg_kw = dict(
+        size=(48, 40),
+        iterations=(3,),
+        content_layers=("conv4_2",),
+        style_layers=("conv1_1", "conv2_1", "conv3_1", "conv4_1"),
+    )
+    out_packed = st.stylize(
+        content, style,
+        _small_cfg(packed_block1=True, packed_block2=True, packed_block3=True,
+                   packed_block4=True, use_fused=True, **cfg_kw),
+    )
+    out_oracle = st.stylize(content, style, _small_cfg(**cfg_kw))
+    np.testing.assert_allclose(out_packed, out_oracle, rtol=2e-3, atol=3e-4)

@@ -149,3 +149,30 @@ def test_vgg16_family(tiny_params):
 def test_infer_arch_rejects_unknown():
     with pytest.raises(ValueError, match="no supported arch"):
         vgg.infer_arch({"convX": {}})
+
+
+def test_start_conv_resumes_mid_block(tiny_params):
+    """start_conv hands over a mid-block activation: running conv4_1+conv4_2
+    outside and resuming with start_block=4, start_conv=2 must reproduce the
+    full forward's deeper activations."""
+    import jax
+    import jax.numpy as jnp
+
+    from style_transfer_tpu.models import vgg as V
+
+    params, mean, std = tiny_params
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 3).astype(np.float32))
+    full = V.extract_features(params, x, ("conv4_2", "conv5_1"), shard_divisor=None)
+    # reproduce conv4_2 by hand from pool3
+    upto = V.extract_features(params, x, ("pool3",), shard_divisor=None)
+    y = upto["pool3"]
+    for name in ("conv4_1", "conv4_2"):
+        p = params[name]
+        y = jax.nn.relu(V._conv(y, p["kernel"], p["bias"]))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(full["conv4_2"]), atol=1e-5)
+    rest = V.extract_features(
+        params, y, ("conv5_1",), shard_divisor=None, start_block=4, start_conv=2
+    )
+    np.testing.assert_allclose(
+        np.asarray(rest["conv5_1"]), np.asarray(full["conv5_1"]), atol=1e-5
+    )
