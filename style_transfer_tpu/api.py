@@ -116,7 +116,11 @@ class StylizeConfig:
     # whose outputs are exactly the objective's needs there — conv4_2's
     # activation (the classic content layer) and conv4_1's style Gram; the
     # remaining block-4 convs resume in XLA via extract_features'
-    # start_conv. Requires packed_block3; same tri-state semantics.
+    # start_conv. MEASURED SLOWER in context (1024px 46.4 -> 42.3 it/s,
+    # A/B reproduced twice: at 512 channels XLA's convs are near-roofline
+    # and the pair pays the row-extension recompute plus a fresh
+    # custom-call boundary at conv4_3), so unlike blocks 1-3 the default
+    # is OFF; True opts in, requires packed_block3.
     packed_block4: Optional[bool] = None
     # EXPERIMENTAL: run VGG block 1 through the round-2 fused Pallas kernel
     # (ops/pallas/block1.py — conv1_2+ReLU+avg-pool+conv1_1-Gram in one
@@ -415,13 +419,13 @@ class StyleTransfer:
         )
 
     def _packed_block4_eligible(self, cfg: StylizeConfig) -> bool:
-        """The fused block-4 front pair (conv4_1+conv4_2): requires the
-        block-3 pairs upstream. conv4_2's activation IS one of the pair's
-        outputs, so it may appear in content or style layers; conv4_1
-        exists only as its Gram (style ok, content not)."""
-        if cfg.packed_block4 is False or not self._packed_block3_eligible(cfg):
-            return False
-        if cfg.packed_block4 is None and jax.default_backend() != "tpu":
+        """The fused block-4 front pair (conv4_1+conv4_2): EXPLICIT OPT-IN
+        only — it measured slower in context than XLA's near-roofline
+        512-channel convs (numbers on StylizeConfig.packed_block4).
+        Requires the block-3 pairs upstream. conv4_2's activation IS one
+        of the pair's outputs, so it may appear in content or style
+        layers; conv4_1 exists only as its Gram (style ok, content not)."""
+        if not cfg.packed_block4 or not self._packed_block3_eligible(cfg):
             return False
         if "conv4_1" in cfg.content_layers:
             return False

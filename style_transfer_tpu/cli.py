@@ -127,8 +127,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="the fused block-3 conv-pair Pallas kernels "
                         "(VGG-19 only; chains off block 2; same semantics)")
     g.add_argument("--packed-block4", choices=["auto", "on", "off"], default="auto",
-                   help="the fused block-4 front pair (conv4_1+conv4_2: the "
-                        "content activation + conv4_1 Gram; same semantics)")
+                   help="the fused block-4 front pair (conv4_1+conv4_2) — "
+                        "measured SLOWER in context, so auto means OFF; "
+                        "'on' opts in (see ARCHITECTURE.md)")
     g.add_argument("--fused-block1", action="store_true",
                    help="EXPERIMENTAL: run VGG block 1 through the round-2 "
                         "fused Pallas kernel (measured slower in the full "
