@@ -497,24 +497,32 @@ class StyleTransfer:
                 cfg.remat or (cfg.remat is None and pixels >= REMAT_AUTO_PIXELS)
             )
             gram_overrides = None
-            # The packed kernel additionally gates on the traced shape (even
-            # extents) and on the memory regime: its backward residuals are
-            # the packed conv1_1 activation + ReLU mask (~3 GB at 4K), which
-            # the auto-remat HBM budget cannot spare — remat scales keep the
-            # XLA path unless the user forces the kernel on.
+            # The packed kernels additionally gate on the traced shape (even
+            # extents). In the auto-remat (memory-tight) regime each kernel
+            # call is wrapped in jax.checkpoint: its backward residuals (the
+            # first activation + ReLU mask, ~3 GB at 4K for block 1) are
+            # then recomputed inside that block's backward and freed after,
+            # instead of living across the whole step — only the small
+            # inter-block pool boundaries persist, the same storage shape
+            # the XLA blockwise-remat path has.
+            # W gate: widths up to 2048 are compile-validated on hardware;
+            # at W=4096 (the 4K scale) the block-2 forward exceeds the 16 MB
+            # scoped-VMEM limit by 2.5 MB even at the minimum 2-row tile, so
+            # wider scales keep the XLA path.
             if (
                 packed_b1
                 and image.shape[1] % 2 == 0
                 and image.shape[2] % 2 == 0
-                and (cfg.packed_block1 or not use_remat)
+                and image.shape[2] <= 2048
             ):
                 from style_transfer_tpu.ops.pallas import block1_packed as B1P
 
+                ckpt = jax.checkpoint if use_remat else (lambda f: f)
                 x = imgio.preprocess(image, self.mean, self.std)
                 if self.compute_dtype is not None:
                     x = x.astype(self.compute_dtype)
                 p1, p2 = params["conv1_1"], params["conv1_2"]
-                pool1, g1 = B1P.block1_packed(
+                pool1, g1 = ckpt(B1P.block1_packed)(
                     x, p1["kernel"], p1["bias"], p2["kernel"], p2["bias"]
                 )
                 gram_overrides = {"conv1_1": g1} if "conv1_1" in s_weights else {}
@@ -530,7 +538,7 @@ class StyleTransfer:
                     from style_transfer_tpu.ops.pallas import block2 as B2F
 
                     q1, q2 = params["conv2_1"], params["conv2_2"]
-                    pool2, g21 = B2F.block2_fused(
+                    pool2, g21 = ckpt(B2F.block2_fused)(
                         pool1, q1["kernel"], q1["bias"], q2["kernel"], q2["bias"]
                     )
                     if "conv2_1" in s_weights:
@@ -547,11 +555,11 @@ class StyleTransfer:
 
                         w31, w32 = params["conv3_1"], params["conv3_2"]
                         w33, w34 = params["conv3_3"], params["conv3_4"]
-                        y32, g31 = CP.pair_gram(
+                        y32, g31 = ckpt(CP.pair_gram)(
                             pool2, w31["kernel"], w31["bias"],
                             w32["kernel"], w32["bias"],
                         )
-                        pool3 = CP.pair_pool(
+                        pool3 = ckpt(CP.pair_pool)(
                             y32, w33["kernel"], w33["bias"],
                             w34["kernel"], w34["bias"],
                         )
@@ -565,7 +573,7 @@ class StyleTransfer:
                         # conv4_1's Gram for the style loss)
                         if packed_b4:
                             w41, w42 = params["conv4_1"], params["conv4_2"]
-                            y42, g41 = CP.pair_gram(
+                            y42, g41 = ckpt(CP.pair_gram)(
                                 pool3, w41["kernel"], w41["bias"],
                                 w42["kernel"], w42["bias"],
                             )

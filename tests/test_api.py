@@ -519,3 +519,23 @@ def test_packed_block4_no_deeper_layers(st, images):
     )
     out_oracle = st.stylize(content, style, _small_cfg(**cfg_kw))
     np.testing.assert_allclose(out_packed, out_oracle, rtol=2e-3, atol=3e-4)
+
+
+def test_packed_chain_under_remat_is_exact(st, images):
+    """remat=True wraps each fused kernel in jax.checkpoint, so residuals
+    are recomputed inside that block's backward — the recompute runs the
+    identical program, so the result must be BIT-IDENTICAL to the
+    non-remat packed run. (A packed-vs-oracle comparison is not pinned
+    here: that pairing can hit ReLU knife edges — see tests/test_block2.py.)"""
+    content, style = images
+    cfg_kw = dict(
+        size=(48, 40),
+        iterations=(3,),
+        content_layers=("conv4_2",),
+        style_layers=("conv1_1", "conv2_1", "conv3_1"),
+        packed_block1=True, packed_block2=True, packed_block3=True,
+        use_fused=True,
+    )
+    out_remat = st.stylize(content, style, _small_cfg(remat=True, **cfg_kw))
+    out_plain = st.stylize(content, style, _small_cfg(remat=False, **cfg_kw))
+    np.testing.assert_array_equal(out_remat, out_plain)
