@@ -347,9 +347,10 @@ class StyleTransfer:
     def _block1_structurally_eligible(self, cfg: StylizeConfig) -> bool:
         """Whether a fused block-1 kernel can carry the objective's first
         block at all: average pooling, no block-1 activation demanded
-        beyond conv1_1's Gram, at least one deeper layer to feed, single
-        device (the kernels ride plain pallas_call, not shard_map)."""
-        if self.mesh is not None or self.pooling != "average":
+        beyond conv1_1's Gram, at least one deeper layer to feed. Under a
+        mesh the packed kernel rides its shard_map wrapper
+        (ops/pallas/block1_packed.make_sharded_block1)."""
+        if self.pooling != "average":
             return False
         b1 = {"conv1_1", "conv1_2", "pool1"}
         if set(cfg.content_layers) & b1:
@@ -363,10 +364,12 @@ class StyleTransfer:
 
     def _block1_eligible(self, cfg: StylizeConfig) -> bool:
         """The round-2 experimental kernel (ops/pallas/block1.py): explicit
-        opt-in only (it measured slower in the full step — ARCHITECTURE.md)."""
+        opt-in only (it measured slower in the full step — ARCHITECTURE.md),
+        and single-device only (plain pallas_call, no shard_map wrapper)."""
         return (
             cfg.fused_block1
             and cfg.use_fused
+            and self.mesh is None
             and self._block1_structurally_eligible(cfg)
         )
 
@@ -382,8 +385,12 @@ class StyleTransfer:
     def _packed_block2_eligible(self, cfg: StylizeConfig) -> bool:
         """The fused block-2 kernel (ops/pallas/block2.py): requires the
         packed block-1 kernel (it consumes that kernel's pool1 output) and
-        the analogous structural conditions one block deeper."""
-        if cfg.packed_block2 is False or not self._packed_block1_eligible(cfg):
+        the analogous structural conditions one block deeper. Single-device
+        only — blocks >= 2 have no shard_map wrapper yet, so under a mesh
+        the chain hands pool1 to the XLA extractor instead."""
+        if cfg.packed_block2 is False or self.mesh is not None:
+            return False
+        if not self._packed_block1_eligible(cfg):
             return False
         if cfg.packed_block2 is None and jax.default_backend() != "tpu":
             return False
@@ -514,15 +521,28 @@ class StyleTransfer:
                 and image.shape[1] % 2 == 0
                 and image.shape[2] % 2 == 0
                 and image.shape[2] <= 2048
+                and (
+                    self.mesh is None
+                    # mesh shards must be clean, even, and >= the 4-row halo
+                    or (
+                        image.shape[1] % (2 * n_dev) == 0
+                        and image.shape[1] // n_dev >= 4
+                    )
+                )
             ):
                 from style_transfer_tpu.ops.pallas import block1_packed as B1P
 
+                b1_fn = (
+                    B1P.block1_packed
+                    if self.mesh is None
+                    else B1P.make_sharded_block1(self.mesh, mesh_mod.SPATIAL_AXIS)
+                )
                 ckpt = jax.checkpoint if use_remat else (lambda f: f)
                 x = imgio.preprocess(image, self.mean, self.std)
                 if self.compute_dtype is not None:
                     x = x.astype(self.compute_dtype)
                 p1, p2 = params["conv1_1"], params["conv1_2"]
-                pool1, g1 = ckpt(B1P.block1_packed)(
+                pool1, g1 = ckpt(b1_fn)(
                     x, p1["kernel"], p1["bias"], p2["kernel"], p2["bias"]
                 )
                 gram_overrides = {"conv1_1": g1} if "conv1_1" in s_weights else {}
@@ -586,11 +606,11 @@ class StyleTransfer:
                 if deeper:
                     feats = vgg_mod.extract_features(
                         params,
-                        handoff,
+                        mesh_mod.constrain_spatial(handoff, self.mesh),
                         deeper,
                         pooling=self.pooling,
                         compute_dtype=None,
-                        shard_divisor=None,
+                        shard_divisor=n_dev if self.mesh is not None else None,
                         arch=self.arch,
                         remat=use_remat,
                         start_block=start_block,

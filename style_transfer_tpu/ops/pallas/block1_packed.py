@@ -213,12 +213,13 @@ def _taps_packed(xh, k_ref, *, flip: bool, contract_out: bool):
 
 
 def _fwd_kernel(p_ref, pup_ref, pdown_ref, k1p_ref, b1p_ref, k2p_ref, b2p_ref,
-                pm_ref, pool_ref, gram_ref, r1_ref, mask2_ref, acc_ref,
-                *, true_h):
+                pm_ref, off_ref, pool_ref, gram_ref, r1_ref, mask2_ref, acc_ref,
+                *, true_h, gram_lo, gram_hi):
     i = pl.program_id(0)
     nt = pl.num_programs(0)
     tile = p_ref.shape[0]
     w2 = p_ref.shape[1]
+    off = off_ref[0]  # global row index of array row 0 (nonzero under a mesh)
 
     @pl.when(i == 0)
     def _():
@@ -230,12 +231,13 @@ def _fwd_kernel(p_ref, pup_ref, pdown_ref, k1p_ref, b1p_ref, k2p_ref, b2p_ref,
     pe = jnp.concatenate([pup, p_ref[:], pdown], axis=0)  # (tile+2, W/2, 128)
 
     # conv1_1: one full-depth packed matmul; rows outside the true image
-    # are forced to zero (conv1_2's SAME padding + no Gram contribution).
+    # (GLOBAL coordinates: array row + off) are forced to zero (conv1_2's
+    # SAME padding at the true image edges).
     y1e = jax.lax.dot_general(
         pe, k1p_ref[:], (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     y1e = jnp.maximum(y1e + b1p_ref[0].astype(jnp.float32), 0.0)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, y1e.shape, 0) + i * tile - 1
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, y1e.shape, 0) + i * tile - 1 + off
     y1e = jnp.where((row_ids < 0) | (row_ids >= true_h), 0.0, y1e).astype(r1_ref.dtype)
     r1 = y1e[1:-1]
     r1_ref[:] = r1
@@ -253,8 +255,15 @@ def _fwd_kernel(p_ref, pup_ref, pdown_ref, k1p_ref, b1p_ref, k2p_ref, b2p_ref,
     wsum = wsum.reshape(tile // 2, 2, w2, C)
     pool_ref[:] = (wsum[:, 0] + wsum[:, 1]).astype(pool_ref.dtype)
 
-    # conv1_1 Gram: 128-wide syrk; diagonal blocks summed in XLA afterwards
-    f = r1.reshape(tile * w2, 2 * C)
+    # conv1_1 Gram: 128-wide syrk; diagonal blocks summed in XLA afterwards.
+    # Under a mesh only rows in the static LOCAL-row window [gram_lo,
+    # gram_hi) contribute — a shard owns exactly its own rows' Gram term;
+    # halo/padding rows belong to (and are counted by) the neighbour.
+    fr = r1
+    if gram_lo > 0 or gram_hi < (1 << 30):
+        lrow = jax.lax.broadcasted_iota(jnp.int32, r1.shape, 0) + i * tile
+        fr = jnp.where((lrow < gram_lo) | (lrow >= gram_hi), 0, r1)
+    f = fr.reshape(tile * w2, 2 * C)
     acc_ref[:] += jax.lax.dot_general(
         f, f, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -266,7 +275,7 @@ def _fwd_kernel(p_ref, pup_ref, pdown_ref, k1p_ref, b1p_ref, k2p_ref, b2p_ref,
 
 def _bwd_kernel(r1_ref, r1up_ref, r1down_ref, m2_ref, m2u2_ref, m2u1_ref,
                 m2d1_ref, m2d2_ref, dp_ref, dpup_ref, dpdown_ref,
-                k1t_ref, k2p_ref, sp_ref, dx_ref, *, true_h):
+                k1t_ref, k2p_ref, sp_ref, off_ref, dx_ref, *, true_h):
     """Image cotangent for one tile, fully in-kernel.
 
     ``dpre1`` (the conv1_1 pre-activation cotangent) is computed on the
@@ -280,6 +289,7 @@ def _bwd_kernel(r1_ref, r1up_ref, r1down_ref, m2_ref, m2u2_ref, m2u1_ref,
     """
     i = pl.program_id(0)
     tile, w2 = r1_ref.shape[0], r1_ref.shape[1]
+    off = off_ref[0]  # global row index of array row 0 (nonzero under a mesh)
 
     # conv1_2 mask on rows r0-2 .. r0+tile+1 (tile+4)
     m2e = jnp.concatenate(
@@ -298,7 +308,7 @@ def _bwd_kernel(r1_ref, r1up_ref, r1down_ref, m2_ref, m2u2_ref, m2u1_ref,
         r2 * 2, w2, 2 * C
     ) * jnp.asarray(0.25, dpx.dtype)  # (tile+4, W/2, 128), rows r0-2 ..
 
-    rows4 = jax.lax.broadcasted_iota(jnp.int32, dy2.shape, 0) + i * tile - 2
+    rows4 = jax.lax.broadcasted_iota(jnp.int32, dy2.shape, 0) + i * tile - 2 + off
     da2 = dy2 * m2e.astype(dy2.dtype)
     da2 = jnp.where((rows4 < 0) | (rows4 >= true_h), 0.0, da2).astype(r1_ref.dtype)
 
@@ -311,7 +321,7 @@ def _bwd_kernel(r1_ref, r1up_ref, r1down_ref, m2_ref, m2u2_ref, m2u1_ref,
     ).reshape(tile + 2, w2, 2 * C)
     gate = r1e.astype(jnp.float32) > 0.0  # no bf16 vector compare on TPU
     dpre1 = jnp.where(gate, dr1 + g, 0.0)
-    rows2 = jax.lax.broadcasted_iota(jnp.int32, dpre1.shape, 0) + i * tile - 1
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, dpre1.shape, 0) + i * tile - 1 + off
     dpre1 = jnp.where(
         (rows2 < 0) | (rows2 >= true_h), 0.0, dpre1
     ).astype(r1_ref.dtype)
@@ -349,19 +359,27 @@ def _pad_h(x2d: jnp.ndarray, tile: int):
     return x2d
 
 
-def _fwd(x2d, k1, b1, k2, b2, true_h):
+def _fwd(x2d, k1, b1, k2, b2, true_h, off=None, gram_rows=None):
     """(H, W, 3) preprocessed image rows (H padded, W even) ->
     (pool1 (H/2, W/2, 64), unnormalized gram128 (128, 128) fp32,
-    r1 packed, mask2 packed int8)."""
+    r1 packed, mask2 packed int8).
+
+    ``off`` (traced int32, default 0) is the GLOBAL row index of array row
+    0 — nonzero when ``x2d`` is a halo-extended mesh shard, so the
+    edge-zeroing masks work in global coordinates. ``gram_rows`` is a
+    static local-row window ``(lo, hi)`` restricting the Gram accumulation
+    to the rows this shard owns (halo rows are the neighbour's)."""
     h, w, _ = x2d.shape
     tile = _tile_h(w)
     w2 = w // 2
     dt = x2d.dtype
+    gram_lo, gram_hi = gram_rows if gram_rows is not None else (0, 1 << 30)
+    off_arr = jnp.reshape(jnp.asarray(0 if off is None else off, jnp.int32), (1,))
     patches = _im2col_packed(x2d)
     pup, pdown = _halo_specs(w2, tile, h)
     grid = (h // tile,)
     pool, gram, r1, mask2 = pl.pallas_call(
-        functools.partial(_fwd_kernel, true_h=true_h),
+        functools.partial(_fwd_kernel, true_h=true_h, gram_lo=gram_lo, gram_hi=gram_hi),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, w2, 2 * C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -372,6 +390,7 @@ def _fwd(x2d, k1, b1, k2, b2, true_h):
             pl.BlockSpec(memory_space=pltpu.VMEM),  # K2' (3, 3, 128, 128)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # b2 packed (1, 128)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # pool matrix (128, 64)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # global row offset (1,)
         ],
         out_specs=[
             pl.BlockSpec((tile // 2, w2, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -398,7 +417,7 @@ def _fwd(x2d, k1, b1, k2, b2, true_h):
         patches, patches, patches,
         _pack_k1(k1, dt), jnp.tile(b1.astype(dt), 2).reshape(1, -1),
         _pack_k2(k2, dt), jnp.tile(b2.astype(dt), 2).reshape(1, -1),
-        _pool_mat(dt),
+        _pool_mat(dt), off_arr,
     )
     return pool, gram, r1, mask2
 
@@ -414,12 +433,16 @@ def _row_halo(w2: int, lanes: int, h: int, row_fn):
     )
 
 
-def _bwd(r1p, mask2, k1, k2, d_pool, s, true_h):
-    """One-pass in-kernel backward -> (H_pad, W, 3) image cotangent."""
+def _bwd(r1p, mask2, k1, k2, d_pool, s, true_h, off=None):
+    """One-pass in-kernel backward -> (H_pad, W, 3) image cotangent.
+
+    ``off`` as in :func:`_fwd`: the global row of array row 0, so the
+    edge masks hold in global coordinates for halo-extended mesh shards."""
     h, w2, _ = r1p.shape
     w = 2 * w2
     tile = _tile_h(w, backward=True)
     dt = r1p.dtype
+    off_arr = jnp.reshape(jnp.asarray(0 if off is None else off, jnp.int32), (1,))
     # lane-duplicate the pooled cotangent: packed d_y2 has the same value on
     # both parities of a packed column (one pooled pixel covers both)
     dp = jnp.concatenate([d_pool, d_pool], axis=-1).astype(dt)  # (H/2, W/2, 128)
@@ -444,6 +467,7 @@ def _bwd(r1p, mask2, k1, k2, d_pool, s, true_h):
             pl.BlockSpec(memory_space=pltpu.VMEM),  # K1^T packed (3,3,128,8)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # K2'
             pl.BlockSpec(memory_space=pltpu.VMEM),  # S'
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # global row offset (1,)
         ],
         out_specs=pl.BlockSpec((tile, w2, 8), center, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h, w2, 8), dt),
@@ -455,7 +479,7 @@ def _bwd(r1p, mask2, k1, k2, d_pool, s, true_h):
         interpret=_interpret(),
     )(
         r1p, r1p, r1p, mask2, mask2, mask2, mask2, mask2, dp, dp, dp,
-        _pack_k1_t(k1, dt), _pack_k2(k2, dt), sp.astype(dt),
+        _pack_k1_t(k1, dt), _pack_k2(k2, dt), sp.astype(dt), off_arr,
     )
     # unpack lanes (u*4 + c, c < 3) -> (H, W, 3): free reshape + one slice
     return dx8.reshape(h, w2, 2, 4)[:, :, :, :3].reshape(h, w, 3)
@@ -508,3 +532,123 @@ def _packed_bwd(res, cts):
 
 
 block1_packed.defvjp(_packed_fwd, _packed_bwd)
+
+
+# ------------------------------------------------- block 1 on a spatial mesh
+
+HALO = 4  # rows of image halo each way: dx rows [lo, hi) need dpre1
+# [lo-1, hi], mask2 [lo-2, hi+1], r1 [lo-3, hi+2], image [lo-4, hi+3] —
+# and 4 keeps the extension even-aligned for the 2x2 pool row pairing.
+
+
+def _local_b1_fwd(x, k1, b1, k2, b2, *, axis, n_dev):
+    """Per-device forward body (inside shard_map): 4-row ``ppermute`` image
+    halos, the packed kernel over the extended rows in GLOBAL coordinates
+    (``off``/``gram_rows``), center-sliced pool1, ``psum``'d Gram. Edge
+    devices receive ppermute's zero fill; the kernel's global row masks
+    turn exactly those rows into conv SAME padding."""
+    _, h_l, w, _ = x.shape
+    idx = jax.lax.axis_index(axis)
+    up = jax.lax.ppermute(x[:, -HALO:], axis, [(i, i + 1) for i in range(n_dev - 1)])
+    down = jax.lax.ppermute(x[:, :HALO], axis, [(i, i - 1) for i in range(1, n_dev)])
+    xe = jnp.concatenate([up, x, down], axis=1)[0]  # (h_l + 8, W, 3)
+    off = idx * h_l - HALO
+    pool, gram, r1p, mask2 = _fwd(
+        _pad_h(xe, _tile_h(w)), k1, b1, k2, b2, n_dev * h_l,
+        off=off, gram_rows=(HALO, HALO + h_l),
+    )
+    pool_c = pool[HALO // 2 : HALO // 2 + h_l // 2]
+    return pool_c[None], jax.lax.psum(gram, axis), r1p, mask2
+
+
+def _local_b1_bwd(r1p, mask2, d_pool, s, k1, k2, *, axis, n_dev):
+    """Per-device backward body: the stored residuals already cover the
+    4-row extension, so only the POOLED cotangent needs a (one-row)
+    ``ppermute`` halo; the in-kernel backward then writes the local image
+    cotangent in one pass, center-sliced to the shard's own rows. Rows fed
+    by the zero-filled extension edges only reach sliced-away outputs."""
+    h_l = d_pool.shape[1] * 2
+    idx = jax.lax.axis_index(axis)
+    dp = d_pool[0]  # (h_l/2, W/2, 64)
+    up = jax.lax.ppermute(dp[-1:], axis, [(i, i + 1) for i in range(n_dev - 1)])
+    down = jax.lax.ppermute(dp[:1], axis, [(i, i - 1) for i in range(1, n_dev)])
+    # pooled rows aligned with the r1p extension: array pooled row 0 is
+    # global pooled row lo/2 - HALO/2; rows outside [lo/2-1, hi/2] are
+    # zero (they only influence dx rows outside the center slice).
+    pad_tail = r1p.shape[0] // 2 - h_l // 2 - 3
+    dpe = jnp.concatenate(
+        [jnp.zeros_like(up), up, dp, down,
+         jnp.zeros((pad_tail,) + dp.shape[1:], dp.dtype)],
+        axis=0,
+    )
+    off = idx * h_l - HALO
+    dx = _bwd(r1p, mask2, k1, k2, dpe, s, n_dev * h_l, off=off)
+    return dx[HALO : HALO + h_l][None]
+
+
+def make_sharded_block1(mesh, axis: str):
+    """:func:`block1_packed` carried onto a 1-D spatial mesh.
+
+    Returns a drop-in ``(x, k1, b1, k2, b2) -> (pool1, gram)`` for NHWC
+    images sharded along H over ``mesh`` (``P(None, axis, None, None)``):
+    each device runs the packed kernel on its own rows plus a 4-row
+    ``ppermute`` halo, Grams ``psum`` over ICI, and the custom VJP keeps
+    the per-shard packed residuals sharded — the backward's only
+    collective is a one-pooled-row halo exchange (the Gram cotangent
+    arrives replicated). Caller gates: N == 1, even W, per-shard rows
+    H / n_dev even and >= 4. Sharded == unsharded to accumulation
+    tolerance (tests/test_sharding.py)."""
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = int(mesh.shape[axis])
+    img = P(None, axis, None, None)
+    rows = P(axis, None, None)
+    kw = dict(axis=axis, n_dev=n_dev)
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    # annotation (same situation as make_sharded_tv_loss).
+    body_fwd = jax.shard_map(
+        functools.partial(_local_b1_fwd, **kw),
+        mesh=mesh,
+        in_specs=(img, P(), P(), P(), P()),
+        out_specs=(img, P(), rows, rows),
+        check_vma=False,
+    )
+    body_bwd = jax.shard_map(
+        functools.partial(_local_b1_bwd, **kw),
+        mesh=mesh,
+        in_specs=(rows, rows, img, P(), P(), P()),
+        out_specs=img,
+        check_vma=False,
+    )
+
+    def _check(x):
+        n, h, w, _ = x.shape
+        h_l = h // n_dev
+        if n != 1 or w % 2 or h % n_dev or h_l % 2 or h_l < HALO:
+            raise ValueError(
+                "sharded block1_packed expects (1, H, even W, 3) with "
+                f"H / {n_dev} even and >= {HALO}; got {x.shape}"
+            )
+
+    @jax.custom_vjp
+    def sharded_block1(x, k1, b1, k2, b2):
+        _check(x)
+        pool, gram, _, _ = body_fwd(x, k1, b1, k2, b2)
+        return pool, _gram64(gram, x.shape[1] * x.shape[2])
+
+    def fwd(x, k1, b1, k2, b2):
+        _check(x)
+        pool, gram, r1p, mask2 = body_fwd(x, k1, b1, k2, b2)
+        out = (pool, _gram64(gram, x.shape[1] * x.shape[2]))
+        return out, (r1p, mask2, k1, k2, x.shape[1], x.shape[2])
+
+    def bwd(res, cts):
+        r1p, mask2, k1, k2, h, w = res
+        d_pool, d_gram = cts
+        s = (d_gram + d_gram.T) / jnp.float32(h * w)
+        dx = body_bwd(r1p, mask2, d_pool, s, k1, k2)
+        return (dx, jnp.zeros_like(k1), jnp.zeros((C,), k1.dtype),
+                jnp.zeros_like(k2), jnp.zeros((C,), k2.dtype))
+
+    sharded_block1.defvjp(fwd, bwd)
+    return sharded_block1

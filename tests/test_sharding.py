@@ -273,7 +273,10 @@ def test_sharded_fused_tv_end_to_end_dispatch(mesh8, images, monkeypatch):
     st = StyleTransfer(mesh=mesh8)
     # W=128 so the flattened lane width (W*C=384) passes the 128-alignment
     # gate and the shard_map kernel actually carries the TV term.
-    cfg_kw = dict(size=(64, 128), iterations=(3,), tv_weight=5.0)
+    # packed_block1 pinned off: this test fakes the TPU backend to exercise
+    # the TV dispatch alone, and must not also drag the sharded packed
+    # block-1 kernel in (it has its own end-to-end dispatch test).
+    cfg_kw = dict(size=(64, 128), iterations=(3,), tv_weight=5.0, packed_block1=False)
     out_oracle = st.stylize(content, style, _cfg(use_fused=False, **cfg_kw))
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
@@ -295,4 +298,98 @@ def test_sharded_fused_tv_end_to_end_dispatch(mesh8, images, monkeypatch):
     # fp reassociation (psum ordering) shifts the TV term by ~1 ulp, which
     # three Adam steps amplify slightly; the direct-kernel test above checks
     # value/grad at tight tolerance.
+    np.testing.assert_allclose(out_fused, out_oracle, rtol=1e-3, atol=5e-4)
+
+
+def test_sharded_packed_block1_matches_unsharded(mesh8):
+    """Round-3: the W-pair-packed fused block-1 kernel carried onto the
+    mesh via shard_map (4-row ppermute image halos, per-shard-rows Gram +
+    psum, one-pooled-row halo in the backward) must reproduce the
+    unsharded kernel's pool1/Gram values AND image gradient — including at
+    the minimum per-shard height (h_l = 4 = the halo depth)."""
+    import jax.numpy as jnp
+
+    from style_transfer_tpu.ops.pallas import block1_packed as B1P
+
+    r = np.random.RandomState(11)
+    k1 = jnp.asarray(r.randn(3, 3, 3, 64).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(r.randn(64).astype(np.float32) * 0.1)
+    k2 = jnp.asarray(r.randn(3, 3, 64, 64).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(r.randn(64).astype(np.float32) * 0.1)
+    fn = B1P.make_sharded_block1(mesh8, mesh_mod.SPATIAL_AXIS)
+
+    def loss(f, x):
+        p, g = f(x, k1, b1, k2, b2)
+        return jnp.sum(p.astype(jnp.float32) ** 2) + 10.0 * jnp.sum(g**2)
+
+    for hw in [(64, 48), (32, 24)]:  # h_l = 8, and the minimum h_l = 4
+        x = jnp.asarray(r.rand(1, *hw, 3).astype(np.float32))
+        xs = mesh_mod.shard_image(x, mesh8)
+        p_ref, g_ref = jax.jit(
+            lambda x: B1P.block1_packed(x, k1, b1, k2, b2)
+        )(x)
+        p_sh, g_sh = jax.jit(lambda x: fn(x, k1, b1, k2, b2))(xs)
+        np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref), atol=3e-6)
+        np.testing.assert_allclose(
+            np.asarray(g_sh), np.asarray(g_ref), rtol=1e-5, atol=1e-6
+        )
+
+        v1, d1 = jax.jit(jax.value_and_grad(lambda x: loss(B1P.block1_packed, x)))(x)
+        v2, d2 = jax.jit(jax.value_and_grad(lambda x: loss(fn, x)))(xs)
+        np.testing.assert_allclose(float(v2), float(v1), rtol=1e-5)
+        scale = float(np.abs(np.asarray(d1)).max())
+        np.testing.assert_allclose(
+            np.asarray(d2), np.asarray(d1), atol=2e-5 * max(scale, 1.0)
+        )
+        # the image cotangent comes back sharded along H
+        heights = {s.data.shape[1] for s in d2.addressable_shards}
+        assert heights == {hw[0] // 8}
+
+
+def test_sharded_packed_block1_shape_gate(mesh8):
+    """Shapes the halo exchange cannot carry (per-shard rows odd or below
+    the 4-row halo) are rejected loudly — the API's dispatch gate keeps
+    such shapes on the XLA path instead."""
+    import jax.numpy as jnp
+
+    from style_transfer_tpu.ops.pallas import block1_packed as B1P
+
+    fn = B1P.make_sharded_block1(mesh8, mesh_mod.SPATIAL_AXIS)
+    k1 = jnp.zeros((3, 3, 3, 64))
+    b1 = jnp.zeros((64,))
+    k2 = jnp.zeros((3, 3, 64, 64))
+    b2 = jnp.zeros((64,))
+    with pytest.raises(ValueError, match="sharded block1_packed"):
+        fn(jnp.zeros((1, 24, 16, 3)), k1, b1, k2, b2)  # h_l = 3: odd
+    with pytest.raises(ValueError, match="sharded block1_packed"):
+        fn(jnp.zeros((1, 16, 16, 3)), k1, b1, k2, b2)  # h_l = 2 < halo
+
+
+def test_sharded_packed_block1_end_to_end_dispatch(mesh8, images, monkeypatch):
+    """A sharded stylize with the packed kernel forced on (packed_block1 =
+    True overrides the TPU-backend gate; interpret mode engages on CPU
+    automatically) routes block 1 through the shard_map wrapper and
+    reproduces the oracle run."""
+    from style_transfer_tpu.ops.pallas import block1_packed as B1P
+
+    content, style = images
+    cfg_kw = dict(size=64, iterations=(3,))
+    st = StyleTransfer(mesh=mesh8)
+    out_oracle = st.stylize(content, style, _cfg(use_fused=False, **cfg_kw))
+
+    calls = []
+    real_make = B1P.make_sharded_block1
+
+    def spy(mesh, axis):
+        calls.append(axis)
+        return real_make(mesh, axis)
+
+    monkeypatch.setattr(B1P, "make_sharded_block1", spy)
+    st2 = StyleTransfer(mesh=mesh8)
+    out_fused = st2.stylize(
+        content, style, _cfg(use_fused=True, packed_block1=True, **cfg_kw)
+    )
+    assert calls, "sharded packed block-1 dispatch did not build the wrapper"
+    # accumulation-order drift (kernel fp32 Gram, psum ordering) amplified
+    # by three Adam steps; the direct-kernel test holds tight tolerance.
     np.testing.assert_allclose(out_fused, out_oracle, rtol=1e-3, atol=5e-4)
