@@ -385,10 +385,10 @@ class StyleTransfer:
     def _packed_block2_eligible(self, cfg: StylizeConfig) -> bool:
         """The fused block-2 kernel (ops/pallas/block2.py): requires the
         packed block-1 kernel (it consumes that kernel's pool1 output) and
-        the analogous structural conditions one block deeper. Single-device
-        only — blocks >= 2 have no shard_map wrapper yet, so under a mesh
-        the chain hands pool1 to the XLA extractor instead."""
-        if cfg.packed_block2 is False or self.mesh is not None:
+        the analogous structural conditions one block deeper. Under a mesh
+        the pair rides its shard_map wrapper
+        (ops/pallas/conv_pair.make_sharded_pair)."""
+        if cfg.packed_block2 is False:
             return False
         if not self._packed_block1_eligible(cfg):
             return False
@@ -548,17 +548,39 @@ class StyleTransfer:
                 gram_overrides = {"conv1_1": g1} if "conv1_1" in s_weights else {}
                 covered = {"conv1_1"}
                 start_block, handoff, start_conv = 2, pool1, 0
+
+                from style_transfer_tpu.ops.pallas import block2 as B2F
+                from style_transfer_tpu.ops.pallas import conv_pair as CP
+
+                def _mesh_rows_ok(t):
+                    # mesh shards must be clean, even, and >= the 4-row halo
+                    return self.mesh is None or (
+                        t.shape[1] % (2 * n_dev) == 0
+                        and t.shape[1] // n_dev >= 4
+                    )
+
+                if self.mesh is None:
+                    b2_fn, p_gram, p_pool = (
+                        B2F.block2_fused, CP.pair_gram, CP.pair_pool
+                    )
+                else:
+                    sharded_pair = partial(
+                        CP.make_sharded_pair, self.mesh, mesh_mod.SPATIAL_AXIS
+                    )
+                    b2_fn = sharded_pair(pool=True, gram=True)
+                    p_gram = sharded_pair(pool=False, gram=True)
+                    p_pool = sharded_pair(pool=True, gram=False)
+
                 # chain the fused block-2 kernel off block 1's pool output
                 # (post-block-1 profile leader; shape gate: even pooled dims)
                 if (
                     packed_b2
                     and pool1.shape[1] % 2 == 0
                     and pool1.shape[2] % 2 == 0
+                    and _mesh_rows_ok(pool1)
                 ):
-                    from style_transfer_tpu.ops.pallas import block2 as B2F
-
                     q1, q2 = params["conv2_1"], params["conv2_2"]
-                    pool2, g21 = ckpt(B2F.block2_fused)(
+                    pool2, g21 = ckpt(b2_fn)(
                         pool1, q1["kernel"], q1["bias"], q2["kernel"], q2["bias"]
                     )
                     if "conv2_1" in s_weights:
@@ -570,16 +592,15 @@ class StyleTransfer:
                         packed_b3
                         and pool2.shape[1] % 2 == 0
                         and pool2.shape[2] % 2 == 0
+                        and _mesh_rows_ok(pool2)
                     ):
-                        from style_transfer_tpu.ops.pallas import conv_pair as CP
-
                         w31, w32 = params["conv3_1"], params["conv3_2"]
                         w33, w34 = params["conv3_3"], params["conv3_4"]
-                        y32, g31 = ckpt(CP.pair_gram)(
+                        y32, g31 = ckpt(p_gram)(
                             pool2, w31["kernel"], w31["bias"],
                             w32["kernel"], w32["bias"],
                         )
-                        pool3 = ckpt(CP.pair_pool)(
+                        pool3 = ckpt(p_pool)(
                             y32, w33["kernel"], w33["bias"],
                             w34["kernel"], w34["bias"],
                         )
@@ -591,9 +612,9 @@ class StyleTransfer:
                         # its two outputs are exactly the objective's needs
                         # there (conv4_2's activation for the content loss,
                         # conv4_1's Gram for the style loss)
-                        if packed_b4:
+                        if packed_b4 and _mesh_rows_ok(pool3):
                             w41, w42 = params["conv4_1"], params["conv4_2"]
-                            y42, g41 = ckpt(CP.pair_gram)(
+                            y42, g41 = ckpt(p_gram)(
                                 pool3, w41["kernel"], w41["bias"],
                                 w42["kernel"], w42["bias"],
                             )

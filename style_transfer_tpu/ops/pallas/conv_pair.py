@@ -57,11 +57,12 @@ def _tile_for(w: int, cmid: int, backward: bool = False) -> int:
 
 
 def _fwd_kernel(p_ref, pu2_ref, pu1_ref, pd1_ref, pd2_ref, k1_ref, b1_ref,
-                k2_ref, b2_ref, out_ref, r1_ref, mask2_ref, *refs,
-                w, true_h, pool, gram):
+                k2_ref, b2_ref, off_ref, out_ref, r1_ref, mask2_ref, *refs,
+                w, true_h, pool, gram, gram_lo, gram_hi):
     i = pl.program_id(0)
     tile = p_ref.shape[0]
     cmid = r1_ref.shape[2]
+    off = off_ref[0]  # global row index of array row 0 (nonzero under a mesh)
     if gram:
         gram_ref, acc_ref = refs
 
@@ -69,18 +70,19 @@ def _fwd_kernel(p_ref, pu2_ref, pu1_ref, pd1_ref, pd2_ref, k1_ref, b1_ref,
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # input rows r0-2 .. r0+tile+1; out-of-range rows zeroed (SAME padding
-    # semantics + edge-clamped halo garbage)
+    # input rows r0-2 .. r0+tile+1; rows outside the true image (GLOBAL
+    # coordinates: array row + off) zeroed (SAME padding semantics +
+    # edge-clamped halo garbage)
     pe = jnp.concatenate(
         [pu2_ref[0:1], pu1_ref[0:1], p_ref[:], pd1_ref[0:1], pd2_ref[0:1]],
         axis=0,
     )
-    rows4 = jax.lax.broadcasted_iota(jnp.int32, pe.shape, 0) + i * tile - 2
+    rows4 = jax.lax.broadcasted_iota(jnp.int32, pe.shape, 0) + i * tile - 2 + off
     pe = jnp.where((rows4 < 0) | (rows4 >= true_h), 0.0, pe)
 
     y1e = _conv_taps(pe, k1_ref, flip=False, contract_out=False)
     y1e = jnp.maximum(y1e + b1_ref[0].astype(jnp.float32), 0.0)
-    rows2 = jax.lax.broadcasted_iota(jnp.int32, y1e.shape, 0) + i * tile - 1
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, y1e.shape, 0) + i * tile - 1 + off
     y1e = jnp.where((rows2 < 0) | (rows2 >= true_h), 0.0, y1e).astype(r1_ref.dtype)
     r1 = y1e[1:-1]
     r1_ref[:] = r1
@@ -95,7 +97,15 @@ def _fwd_kernel(p_ref, pu2_ref, pu1_ref, pd1_ref, pd2_ref, k1_ref, b1_ref,
         out_ref[:] = y2.astype(out_ref.dtype)
 
     if gram:
-        f = r1.reshape(tile * w, cmid)
+        # Under a mesh only rows in the static LOCAL-row window [gram_lo,
+        # gram_hi) contribute — a shard owns exactly its own rows' Gram
+        # term; halo/padding rows belong to (and are counted by) the
+        # neighbour.
+        fr = r1
+        if gram_lo > 0 or gram_hi < (1 << 30):
+            lrow = jax.lax.broadcasted_iota(jnp.int32, r1.shape, 0) + i * tile
+            fr = jnp.where((lrow < gram_lo) | (lrow >= gram_hi), 0, r1)
+        f = fr.reshape(tile * w, cmid)
         acc_ref[:] += jax.lax.dot_general(
             f, f, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -113,7 +123,8 @@ def _bwd_kernel(*refs, w, true_h, pool, gram):
     Ref order: r1, r1 up/down halos, mask2, mask2 u2/u1/d1/d2 halos, then
     the output-cotangent refs (pooled: center + 1-pooled-row halos, giving
     rows r0-2..r0+tile+1 after unpooling; un-pooled: center + u2/u1/d1/d2
-    single-row halos), k1, k2, [S], and the input-cotangent output ref.
+    single-row halos), k1, k2, [S], the global row offset (SMEM), and the
+    input-cotangent output ref.
     """
     it = iter(refs)
     r1_ref, r1up_ref, r1down_ref = next(it), next(it), next(it)
@@ -149,9 +160,11 @@ def _bwd_kernel(*refs, w, true_h, pool, gram):
 
     k1_ref, k2_ref = next(it), next(it)
     s_ref = next(it) if gram else None
+    off_ref = next(it)
     dout2_ref = next(it)
+    off = off_ref[0]  # global row index of array row 0 (nonzero under a mesh)
 
-    rows4 = jax.lax.broadcasted_iota(jnp.int32, dy2.shape, 0) + i * tile - 2
+    rows4 = jax.lax.broadcasted_iota(jnp.int32, dy2.shape, 0) + i * tile - 2 + off
     da2 = dy2.astype(jnp.float32) * m2e.astype(jnp.float32)
     da2 = jnp.where((rows4 < 0) | (rows4 >= true_h), 0.0, da2).astype(r1_ref.dtype)
 
@@ -166,7 +179,7 @@ def _bwd_kernel(*refs, w, true_h, pool, gram):
         dr1 = dr1 + g
     gate = r1e.astype(jnp.float32) > 0.0
     dpre1 = jnp.where(gate, dr1, 0.0)
-    rows2 = jax.lax.broadcasted_iota(jnp.int32, dpre1.shape, 0) + i * tile - 1
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, dpre1.shape, 0) + i * tile - 1 + off
     dpre1 = jnp.where(
         (rows2 < 0) | (rows2 >= true_h), 0.0, dpre1
     ).astype(r1_ref.dtype)
@@ -184,11 +197,18 @@ def _pad_rows(x, tile):
     return x
 
 
-def _fwd(x2d, k1, b1, k2, b2, true_h, pool, gram):
+def _fwd(x2d, k1, b1, k2, b2, true_h, pool, gram, off=None, gram_rows=None):
+    """``off`` (traced int32, default 0) is the GLOBAL row index of array
+    row 0 — nonzero when ``x2d`` is a halo-extended mesh shard, so the
+    edge-zeroing masks work in global coordinates. ``gram_rows`` is a
+    static local-row window ``(lo, hi)`` restricting the Gram accumulation
+    to the rows this shard owns (halo rows are the neighbour's)."""
     h, w, cin = x2d.shape
     cmid = k1.shape[3]
     tile = _tile_for(w, cmid)
     dt = x2d.dtype
+    gram_lo, gram_hi = gram_rows if gram_rows is not None else (0, 1 << 30)
+    off_arr = jnp.reshape(jnp.asarray(0 if off is None else off, jnp.int32), (1,))
     center = lambda i: (i, 0, 0)
     out_specs = [
         pl.BlockSpec(
@@ -213,7 +233,8 @@ def _fwd(x2d, k1, b1, k2, b2, true_h, pool, gram):
         out_shape.append(jax.ShapeDtypeStruct((cmid, cmid), jnp.float32))
         scratch.append(pltpu.VMEM((cmid, cmid), jnp.float32))
     res = pl.pallas_call(
-        functools.partial(_fwd_kernel, w=w, true_h=true_h, pool=pool, gram=gram),
+        functools.partial(_fwd_kernel, w=w, true_h=true_h, pool=pool, gram=gram,
+                          gram_lo=gram_lo, gram_hi=gram_hi),
         grid=(h // tile,),
         in_specs=[
             pl.BlockSpec((tile, w, cin), center, memory_space=pltpu.VMEM),
@@ -225,6 +246,7 @@ def _fwd(x2d, k1, b1, k2, b2, true_h, pool, gram):
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # global row offset (1,)
         ],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -239,6 +261,7 @@ def _fwd(x2d, k1, b1, k2, b2, true_h, pool, gram):
         x2d, x2d, x2d, x2d, x2d,
         k1.astype(dt), b1.astype(dt).reshape(1, -1),
         k2.astype(dt), b2.astype(dt).reshape(1, -1),
+        off_arr,
     )
     if gram:
         out, r1, mask2, gram128 = res
@@ -247,11 +270,14 @@ def _fwd(x2d, k1, b1, k2, b2, true_h, pool, gram):
     return out, r1, mask2, None
 
 
-def _bwd(r1, mask2, k1, k2, d_out, s, true_h, pool, gram):
+def _bwd(r1, mask2, k1, k2, d_out, s, true_h, pool, gram, off=None):
+    """``off`` as in :func:`_fwd`: the global row of array row 0, so the
+    edge masks hold in global coordinates for halo-extended mesh shards."""
     h, w, cmid = r1.shape
     cin = k1.shape[2]
     tile = _tile_for(w, cmid, backward=True)
     dt = r1.dtype
+    off_arr = jnp.reshape(jnp.asarray(0 if off is None else off, jnp.int32), (1,))
     center = lambda i: (i, 0, 0)
     if pool:
         dout = jnp.repeat(d_out, 2, axis=1).astype(dt)  # (h/2, w, cmid)
@@ -287,6 +313,8 @@ def _bwd(r1, mask2, k1, k2, d_out, s, true_h, pool, gram):
     if gram:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # S
         args.append(s.astype(dt))
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # global row offset
+    args.append(off_arr)
     din = pl.pallas_call(
         functools.partial(_bwd_kernel, w=w, true_h=true_h, pool=pool, gram=gram),
         grid=(h // tile,),
@@ -361,3 +389,144 @@ def make_conv_pair(*, pool: bool, gram: bool):
 pair_gram = make_conv_pair(pool=False, gram=True)
 #: block-3 tail pair (and any plain segment): two convs + 2x2 average pool
 pair_pool = make_conv_pair(pool=True, gram=False)
+
+
+# ---------------------------------------------- conv pairs on a spatial mesh
+
+HALO = 4  # rows of input halo each way: din rows [lo, hi) need dpre1
+# [lo-1, hi], mask2/da2 [lo-2, hi+1], r1 [lo-3, hi+2], input [lo-4, hi+3]
+# — the same reach as the packed block-1 kernel, and even-aligned for the
+# 2x2 pool row pairing.
+
+
+def _local_pair_fwd(x, k1, b1, k2, b2, *, axis, n_dev, pool, gram):
+    """Per-device forward body (inside shard_map): 4-row ``ppermute`` input
+    halos, the pair kernel over the extended rows in GLOBAL coordinates
+    (``off``/``gram_rows``), center-sliced output, ``psum``'d Gram. Edge
+    devices receive ppermute's zero fill; the kernel's global row masks
+    turn exactly those rows into conv SAME padding."""
+    _, h_l, w, _ = x.shape
+    idx = jax.lax.axis_index(axis)
+    up = jax.lax.ppermute(x[:, -HALO:], axis, [(i, i + 1) for i in range(n_dev - 1)])
+    down = jax.lax.ppermute(x[:, :HALO], axis, [(i, i - 1) for i in range(1, n_dev)])
+    xe = jnp.concatenate([up, x, down], axis=1)[0]  # (h_l + 8, W, Cin)
+    off = idx * h_l - HALO
+    cmid = k1.shape[3]
+    out, r1, mask2, gram128 = _fwd(
+        _pad_rows(xe, _tile_for(w, cmid)), k1, b1, k2, b2, n_dev * h_l,
+        pool, gram, off=off, gram_rows=(HALO, HALO + h_l),
+    )
+    out_c = out[HALO // 2 : HALO // 2 + h_l // 2] if pool else out[HALO : HALO + h_l]
+    rets = (out_c[None], r1, mask2)
+    if gram:
+        rets += (jax.lax.psum(gram128, axis),)
+    return rets
+
+
+def _local_pair_bwd(r1, mask2, d_out, s, k1, k2, *, axis, n_dev, pool, gram):
+    """Per-device backward body: the stored residuals already cover the
+    4-row extension, so only the output cotangent needs a halo ``ppermute``
+    (one pooled row when ``pool``, two full rows otherwise); the in-kernel
+    backward then writes the local input cotangent in one pass, center-
+    sliced to the shard's own rows. Rows fed by the zero-filled extension
+    edges only reach sliced-away outputs."""
+    dq = d_out[0]
+    h_l = dq.shape[0] * 2 if pool else dq.shape[0]
+    idx = jax.lax.axis_index(axis)
+    depth = 1 if pool else 2
+    up = jax.lax.ppermute(dq[-depth:], axis, [(i, i + 1) for i in range(n_dev - 1)])
+    down = jax.lax.ppermute(dq[:depth], axis, [(i, i - 1) for i in range(1, n_dev)])
+    # cotangent rows aligned with the r1 extension: leading zeros cover the
+    # extension rows beyond the halo's reach — they only influence din
+    # rows outside the center slice.
+    lead = HALO // 2 - 1 if pool else HALO - 2
+    rows_tot = r1.shape[0] // 2 if pool else r1.shape[0]
+    pad_tail = rows_tot - lead - 2 * depth - dq.shape[0]
+    dqe = jnp.concatenate(
+        [jnp.zeros((lead,) + dq.shape[1:], dq.dtype), up, dq, down,
+         jnp.zeros((pad_tail,) + dq.shape[1:], dq.dtype)],
+        axis=0,
+    )
+    off = idx * h_l - HALO
+    din = _bwd(r1, mask2, k1, k2, dqe, s, n_dev * h_l, pool, gram, off=off)
+    return din[HALO : HALO + h_l][None]
+
+
+def make_sharded_pair(mesh, axis: str, *, pool: bool, gram: bool):
+    """:func:`make_conv_pair` carried onto a 1-D spatial mesh.
+
+    Returns a drop-in for the matching unsharded pair, for NHWC inputs
+    sharded along H over ``mesh`` (``P(None, axis, None, None)``): each
+    device runs the pair kernel on its own rows plus a 4-row ``ppermute``
+    halo, Grams ``psum`` over ICI, and the custom VJP keeps the per-shard
+    residuals sharded — the backward's only collective is a small halo
+    exchange on the output cotangent (the Gram cotangent arrives
+    replicated). Caller gates: N == 1, per-shard rows H / n_dev even and
+    >= 4 (W even when ``pool``). Sharded == unsharded to accumulation
+    tolerance (tests/test_sharding.py)."""
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = int(mesh.shape[axis])
+    img = P(None, axis, None, None)
+    rows = P(axis, None, None)
+    kw = dict(axis=axis, n_dev=n_dev, pool=pool, gram=gram)
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    # annotation (same situation as make_sharded_block1).
+    body_fwd = jax.shard_map(
+        functools.partial(_local_pair_fwd, **kw),
+        mesh=mesh,
+        in_specs=(img, P(), P(), P(), P()),
+        out_specs=(img, rows, rows) + ((P(),) if gram else ()),
+        check_vma=False,
+    )
+    if gram:
+        bwd_body = functools.partial(_local_pair_bwd, **kw)
+        bwd_in = (rows, rows, img, P(), P(), P())
+    else:
+        def bwd_body(r1, mask2, d_out, k1, k2):
+            return _local_pair_bwd(r1, mask2, d_out, None, k1, k2, **kw)
+        bwd_in = (rows, rows, img, P(), P())
+    body_bwd = jax.shard_map(
+        bwd_body, mesh=mesh, in_specs=bwd_in, out_specs=img, check_vma=False
+    )
+
+    def _check(x):
+        n, h, w, _ = x.shape
+        h_l = h // n_dev
+        if n != 1 or h % n_dev or h_l % 2 or h_l < HALO or (pool and w % 2):
+            raise ValueError(
+                "sharded conv pair expects (1, H, W, C) with "
+                f"H / {n_dev} even and >= {HALO}"
+                f"{' and even W' if pool else ''}; got {x.shape}"
+            )
+
+    def _run_fwd(x, k1, b1, k2, b2):
+        _check(x)
+        res = body_fwd(x, k1, b1, k2, b2)
+        out = (res[0], res[3] / jnp.float32(x.shape[1] * x.shape[2])) if gram \
+            else res[0]
+        return out, res[1], res[2]
+
+    @jax.custom_vjp
+    def sharded_pair(x, k1, b1, k2, b2):
+        out, _, _ = _run_fwd(x, k1, b1, k2, b2)
+        return out
+
+    def fwd(x, k1, b1, k2, b2):
+        out, r1, mask2 = _run_fwd(x, k1, b1, k2, b2)
+        return out, (r1, mask2, k1, k2, x.shape[1], x.shape[2])
+
+    def bwd(res, cts):
+        r1, mask2, k1, k2, h, w = res
+        if gram:
+            d_out, d_gram = cts
+            s = (d_gram + d_gram.T) / jnp.float32(h * w)
+            din = body_bwd(r1, mask2, d_out, s, k1, k2)
+        else:
+            din = body_bwd(r1, mask2, cts, k1, k2)
+        cmid = k1.shape[3]
+        return (din, jnp.zeros_like(k1), jnp.zeros((cmid,), k1.dtype),
+                jnp.zeros_like(k2), jnp.zeros((cmid,), k2.dtype))
+
+    sharded_pair.defvjp(fwd, bwd)
+    return sharded_pair

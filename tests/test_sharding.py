@@ -393,3 +393,115 @@ def test_sharded_packed_block1_end_to_end_dispatch(mesh8, images, monkeypatch):
     # accumulation-order drift (kernel fp32 Gram, psum ordering) amplified
     # by three Adam steps; the direct-kernel test holds tight tolerance.
     np.testing.assert_allclose(out_fused, out_oracle, rtol=1e-3, atol=5e-4)
+
+
+@pytest.mark.parametrize(
+    "pool,gram,cin,cmid",
+    [(True, True, 64, 128), (False, True, 128, 256), (True, False, 256, 256)],
+    ids=["block2", "pair_gram", "pair_pool"],
+)
+def test_sharded_conv_pair_matches_unsharded(mesh8, pool, gram, cin, cmid):
+    """Round-3: the generalized fused conv-pair kernels carried onto the
+    mesh via shard_map (4-row ppermute input halos, owned-rows Gram +
+    psum, 1-pooled-row / 2-row cotangent halo in the backward) must
+    reproduce the unsharded pair's outputs AND input gradient — including
+    at the minimum per-shard height (h_l = 4 = the halo depth)."""
+    import jax.numpy as jnp
+
+    from style_transfer_tpu.ops.pallas import conv_pair as CP
+
+    r = np.random.RandomState(5)
+    k1 = jnp.asarray(r.randn(3, 3, cin, cmid).astype(np.float32) * (1.5 / np.sqrt(9 * cin)))
+    b1 = jnp.asarray(r.randn(cmid).astype(np.float32) * 0.1)
+    k2 = jnp.asarray(r.randn(3, 3, cmid, cmid).astype(np.float32) * (1.5 / np.sqrt(9 * cmid)))
+    b2 = jnp.asarray(r.randn(cmid).astype(np.float32) * 0.1)
+    ref_pair = CP.make_conv_pair(pool=pool, gram=gram)
+    sh_pair = CP.make_sharded_pair(mesh8, mesh_mod.SPATIAL_AXIS, pool=pool, gram=gram)
+
+    def loss(f, x):
+        o = f(x, k1, b1, k2, b2)
+        if gram:
+            p, g = o
+            return jnp.sum(p.astype(jnp.float32) ** 2) + 10.0 * jnp.sum(g**2)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    for hw in [(64, 48), (32, 24)]:  # h_l = 8, and the minimum h_l = 4
+        x = jnp.asarray(r.rand(1, *hw, cin).astype(np.float32))
+        xs = mesh_mod.shard_image(x, mesh8)
+        o1 = jax.jit(lambda x: ref_pair(x, k1, b1, k2, b2))(x)
+        o2 = jax.jit(lambda x: sh_pair(x, k1, b1, k2, b2))(xs)
+        if gram:
+            np.testing.assert_allclose(np.asarray(o2[0]), np.asarray(o1[0]), atol=2e-5)
+            np.testing.assert_allclose(
+                np.asarray(o2[1]), np.asarray(o1[1]), rtol=1e-5, atol=1e-6
+            )
+        else:
+            np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), atol=2e-5)
+
+        v1, d1 = jax.jit(jax.value_and_grad(lambda x: loss(ref_pair, x)))(x)
+        v2, d2 = jax.jit(jax.value_and_grad(lambda x: loss(sh_pair, x)))(xs)
+        np.testing.assert_allclose(float(v2), float(v1), rtol=1e-5)
+        scale = float(np.abs(np.asarray(d1)).max())
+        np.testing.assert_allclose(
+            np.asarray(d2), np.asarray(d1), atol=3e-5 * max(scale, 1.0)
+        )
+        # the input cotangent comes back sharded along H
+        heights = {s.data.shape[1] for s in d2.addressable_shards}
+        assert heights == {hw[0] // 8}
+
+
+def test_sharded_conv_pair_shape_gate(mesh8):
+    """Shapes the halo exchange cannot carry (per-shard rows odd or below
+    the 4-row halo) are rejected loudly — the API's dispatch gate keeps
+    such shapes on the XLA path instead."""
+    import jax.numpy as jnp
+
+    from style_transfer_tpu.ops.pallas import conv_pair as CP
+
+    fn = CP.make_sharded_pair(mesh8, mesh_mod.SPATIAL_AXIS, pool=True, gram=True)
+    k1 = jnp.zeros((3, 3, 64, 128))
+    b1 = jnp.zeros((128,))
+    k2 = jnp.zeros((3, 3, 128, 128))
+    b2 = jnp.zeros((128,))
+    with pytest.raises(ValueError, match="sharded conv pair"):
+        fn(jnp.zeros((1, 24, 16, 64)), k1, b1, k2, b2)  # h_l = 3: odd
+    with pytest.raises(ValueError, match="sharded conv pair"):
+        fn(jnp.zeros((1, 16, 16, 64)), k1, b1, k2, b2)  # h_l = 2 < halo
+
+
+def test_sharded_packed_chain_end_to_end_dispatch(mesh8, images, monkeypatch):
+    """A sharded stylize with the whole fused front end forced on routes
+    blocks 1-3 through their shard_map wrappers (size 256 keeps pool2's
+    per-shard rows even and >= the halo at every level) and reproduces the
+    oracle run."""
+    from style_transfer_tpu.ops.pallas import conv_pair as CP
+
+    content, style = images
+    cfg_kw = dict(
+        size=(256, 64), min_scale=256, iterations=(2,),
+        packed_block1=True, packed_block2=True, packed_block3=True,
+    )
+    st = StyleTransfer(mesh=mesh8)
+    out_oracle = st.stylize(content, style, _cfg(use_fused=False, **cfg_kw))
+
+    made = []
+    real_make = CP.make_sharded_pair
+
+    def spy(mesh, axis, *, pool, gram):
+        made.append((pool, gram))
+        return real_make(mesh, axis, pool=pool, gram=gram)
+
+    monkeypatch.setattr(CP, "make_sharded_pair", spy)
+    st2 = StyleTransfer(mesh=mesh8)
+    out_fused = st2.stylize(content, style, _cfg(use_fused=True, **cfg_kw))
+    # block 2 (pool+gram), block-3 front (gram), block-3 tail (pool)
+    assert set(made) == {(True, True), (False, True), (True, False)}
+    # accumulation-order drift (kernel fp32 Grams, psum ordering) amplified
+    # by the Adam steps, plus the ReLU knife-edge: a 1-ulp pre-activation
+    # difference can flip a mask bit for ~1 in 100k elements (ARCHITECTURE
+    # .md), so a handful of isolated pixels may drift by O(lr) — bound the
+    # bulk tightly and the outliers loosely.
+    diff = np.abs(out_fused - out_oracle)
+    assert float(np.mean(diff)) < 1e-5, f"mean drift {np.mean(diff):.2e}"
+    assert (diff > 5e-4).mean() < 1e-4, f"outlier fraction {(diff > 5e-4).mean():.2e}"
+    assert float(diff.max()) < 0.02, f"max drift {diff.max():.2e}"
