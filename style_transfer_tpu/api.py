@@ -112,15 +112,19 @@ class StylizeConfig:
     # (VGG-16's 3-conv block 3 doesn't split into pairs); requires
     # packed_block2. Same tri-state semantics.
     packed_block3: Optional[bool] = None
-    # Fused block-4 front pair: conv4_1+conv4_2 as one conv-pair kernel
-    # whose outputs are exactly the objective's needs there — conv4_2's
-    # activation (the classic content layer) and conv4_1's style Gram; the
-    # remaining block-4 convs resume in XLA via extract_features'
-    # start_conv. MEASURED SLOWER in context (1024px 46.4 -> 42.3 it/s,
-    # A/B reproduced twice: at 512 channels XLA's convs are near-roofline
-    # and the pair pays the row-extension recompute plus a fresh
-    # custom-call boundary at conv4_3), so unlike blocks 1-3 the default
-    # is OFF; True opts in, requires packed_block3.
+    # Fused block 4: the front pair (conv4_1+conv4_2 — emitting conv4_2's
+    # activation, the classic content layer, plus conv4_1's style Gram)
+    # chained into the tail pair (conv4_3+conv4_4+pool4), so the Pallas
+    # chain runs through pool4 and block 5 is the only XLA segment left.
+    # Measured 23.3 -> 17.2 ms/it at 1024px (the remaining XLA block-4
+    # convs were NOT near roofline: the ones feeding the content/Gram
+    # losses ran in whole-tensor T(2,128) batch-in-sublanes forms at
+    # 3-7x their roofline cost). The front pair ALONE measured slower
+    # (1024px 46.4 -> 42.3 it/s: it leaves a fresh custom-call seam at
+    # conv4_3), so auto mode engages only when the whole block can chain
+    # — tail layers unrequested and even pool extents; an explicit True
+    # additionally forces the front pair where only it fits. Same
+    # tri-state semantics as packed_block1; requires packed_block3.
     packed_block4: Optional[bool] = None
     # EXPERIMENTAL: run VGG block 1 through the round-2 fused Pallas kernel
     # (ops/pallas/block1.py — conv1_2+ReLU+avg-pool+conv1_1-Gram in one
@@ -426,18 +430,22 @@ class StyleTransfer:
         )
 
     def _packed_block4_eligible(self, cfg: StylizeConfig) -> bool:
-        """The fused block-4 front pair (conv4_1+conv4_2): EXPLICIT OPT-IN
-        only — it measured slower in context than XLA's near-roofline
-        512-channel convs (numbers on StylizeConfig.packed_block4).
-        Requires the block-3 pairs upstream. conv4_2's activation IS one
-        of the pair's outputs, so it may appear in content or style
-        layers; conv4_1 exists only as its Gram (style ok, content not)."""
-        if not cfg.packed_block4 or not self._packed_block3_eligible(cfg):
+        """The fused block-4 pairs: auto-dispatched on TPU like blocks 2-3.
+        In auto mode the objective engages block 4 only when the WHOLE
+        block can chain (front pair conv4_1+conv4_2 AND tail pair
+        conv4_3+conv4_4+pool4, measured 23.3 -> 17.2 ms/it at 1024px);
+        the front pair alone measured slower (it leaves a fresh
+        custom-call seam at conv4_3) and runs only under an explicit
+        ``packed_block4=True``. Requires the block-3 pairs upstream.
+        conv4_2's activation IS one of the front pair's outputs, so it may
+        appear in content or style layers; conv4_1 exists only as its Gram
+        (style ok, content not)."""
+        if cfg.packed_block4 is False or not self._packed_block3_eligible(cfg):
+            return False
+        if cfg.packed_block4 is None and jax.default_backend() != "tpu":
             return False
         if "conv4_1" in cfg.content_layers:
             return False
-        # anything deeper than conv4_2 resumes in XLA via start_conv, so
-        # no other structural restriction applies
         return True
 
     def _prog_key(self, cfg: StylizeConfig) -> str:
@@ -608,11 +616,29 @@ class StyleTransfer:
                             gram_overrides["conv3_1"] = g31
                         covered.add("conv3_1")
                         start_block, handoff = 4, pool3
-                        # ... and block 4's front pair: conv4_1+conv4_2 —
+                        # ... and block 4: the front pair (conv4_1+conv4_2 —
                         # its two outputs are exactly the objective's needs
-                        # there (conv4_2's activation for the content loss,
-                        # conv4_1's Gram for the style loss)
-                        if packed_b4 and _mesh_rows_ok(pool3):
+                        # there: conv4_2's activation for the content loss,
+                        # conv4_1's Gram for the style loss) chained into
+                        # the tail pair (conv4_3+conv4_4+pool4), so the
+                        # Pallas chain runs through pool4 and no XLA conv
+                        # is left adjacent to a custom-call seam at block-4
+                        # resolution (1024px A/B: 23.3 -> 17.2 ms/it). The
+                        # front pair ALONE measured slower (it leaves a
+                        # fresh seam at conv4_3), so auto dispatch engages
+                        # only when the whole-block chain can: tail layers
+                        # unrequested and pool-even extents. Explicit
+                        # packed_block4=True still forces the front pair.
+                        b4_tail = {"conv4_3", "conv4_4", "pool4"}
+                        b4_tail_ok = (
+                            not (b4_tail & set(all_layers))
+                            and pool3.shape[1] % 2 == 0
+                            and pool3.shape[2] % 2 == 0
+                            and _mesh_rows_ok(pool3)
+                        )
+                        if packed_b4 and _mesh_rows_ok(pool3) and (
+                            b4_tail_ok or cfg.packed_block4 is True
+                        ):
                             w41, w42 = params["conv4_1"], params["conv4_2"]
                             y42, g41 = ckpt(p_gram)(
                                 pool3, w41["kernel"], w41["bias"],
@@ -623,6 +649,15 @@ class StyleTransfer:
                             covered.update(("conv4_1", "conv4_2"))
                             start_block, handoff = 4, y42
                             start_conv = 2
+                            if b4_tail_ok:
+                                w43, w44 = params["conv4_3"], params["conv4_4"]
+                                pool4 = ckpt(p_pool)(
+                                    y42, w43["kernel"], w43["bias"],
+                                    w44["kernel"], w44["bias"],
+                                )
+                                covered.update(b4_tail)
+                                start_block, handoff = 5, pool4
+                                start_conv = 0
                 deeper = tuple(l for l in all_layers if l not in covered)
                 if deeper:
                     feats = vgg_mod.extract_features(
@@ -639,7 +674,7 @@ class StyleTransfer:
                     )
                 else:
                     feats = {}
-                if start_conv and "conv4_2" in all_layers:
+                if "conv4_2" in covered and "conv4_2" in all_layers:
                     feats = dict(feats)
                     feats["conv4_2"] = y42
                 gram_overrides = gram_overrides or None

@@ -521,6 +521,46 @@ def test_packed_block4_no_deeper_layers(st, images):
     np.testing.assert_allclose(out_packed, out_oracle, rtol=2e-3, atol=3e-4)
 
 
+def test_packed_block4_full_chain_end_to_end(st, images):
+    """Even pool3 extents + no block-4-tail feature layers: the chain runs
+    through pool4 (front pair then tail pair) and conv5_1 resumes via
+    start_block=5. Must reproduce the oracle through the public API."""
+    content, style = images
+    cfg_kw = dict(
+        size=(64, 48),  # pool3 8x6: even -> block-4 tail gate open
+        iterations=(3,),
+        content_layers=("conv4_2",),
+        style_layers=("conv1_1", "conv2_1", "conv3_1", "conv4_1", "conv5_1"),
+    )
+    out_packed = st.stylize(
+        content, style,
+        _small_cfg(packed_block1=True, packed_block2=True, packed_block3=True,
+                   packed_block4=True, use_fused=True, **cfg_kw),
+    )
+    out_oracle = st.stylize(content, style, _small_cfg(**cfg_kw))
+    np.testing.assert_allclose(out_packed, out_oracle, rtol=2e-3, atol=3e-4)
+
+
+def test_packed_block4_tail_skipped_when_tail_layer_requested(st, images):
+    """A block-4-tail feature layer (conv4_4) forces the front-pair-only
+    path (tail activations must materialize in XLA); the result still
+    matches the oracle."""
+    content, style = images
+    cfg_kw = dict(
+        size=(64, 48),
+        iterations=(3,),
+        content_layers=("conv4_2",),
+        style_layers=("conv1_1", "conv3_1", "conv4_1", "conv4_4"),
+    )
+    out_packed = st.stylize(
+        content, style,
+        _small_cfg(packed_block1=True, packed_block2=True, packed_block3=True,
+                   packed_block4=True, use_fused=True, **cfg_kw),
+    )
+    out_oracle = st.stylize(content, style, _small_cfg(**cfg_kw))
+    np.testing.assert_allclose(out_packed, out_oracle, rtol=2e-3, atol=3e-4)
+
+
 def test_packed_chain_under_remat_is_exact(st, images):
     """remat=True wraps each fused kernel in jax.checkpoint, so residuals
     are recomputed inside that block's backward — the recompute runs the
