@@ -659,6 +659,38 @@ class StyleTransfer:
                                 start_block, handoff = 5, pool4
                                 start_conv = 0
                 deeper = tuple(l for l in all_layers if l not in covered)
+                # conv5_1 — the deepest default style layer — is consumed
+                # ONLY as its Gram; when it is the sole remaining layer the
+                # fused conv+Gram kernel (ops/pallas/conv_gram.py) computes
+                # that Gram directly from streamed conv rows and the ENTIRE
+                # VGG forward+backward runs in Pallas (no XLA conv remains
+                # to be re-tiled at the custom-call seam).
+                if (
+                    deeper == ("conv5_1",)
+                    and start_block == 5
+                    and "conv5_1" not in c_weights
+                    and (
+                        self.mesh is None
+                        or (
+                            handoff.shape[1] % n_dev == 0
+                            and handoff.shape[1] // n_dev >= 2
+                        )
+                    )
+                ):
+                    from style_transfer_tpu.ops.pallas import conv_gram as CG
+
+                    cg_fn = (
+                        CG.conv_gram
+                        if self.mesh is None
+                        else CG.make_sharded_conv_gram(
+                            self.mesh, mesh_mod.SPATIAL_AXIS
+                        )
+                    )
+                    w51 = params["conv5_1"]
+                    gram_overrides["conv5_1"] = ckpt(cg_fn)(
+                        handoff, w51["kernel"], w51["bias"]
+                    )
+                    deeper = ()
                 if deeper:
                     feats = vgg_mod.extract_features(
                         params,

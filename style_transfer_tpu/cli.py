@@ -127,9 +127,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="the fused block-3 conv-pair Pallas kernels "
                         "(VGG-19 only; chains off block 2; same semantics)")
     g.add_argument("--packed-block4", choices=["auto", "on", "off"], default="auto",
-                   help="the fused block-4 front pair (conv4_1+conv4_2) — "
-                        "measured SLOWER in context, so auto means OFF; "
-                        "'on' opts in (see ARCHITECTURE.md)")
+                   help="the fused block-4 chain (front pair conv4_1+conv4_2 "
+                        "+ tail pair conv4_3+conv4_4+pool4, then the conv5_1 "
+                        "conv+Gram kernel when eligible); auto engages only "
+                        "when the whole block can chain, 'on' additionally "
+                        "forces the front pair alone (measured slower — see "
+                        "ARCHITECTURE.md)")
     g.add_argument("--fused-block1", action="store_true",
                    help="EXPERIMENTAL: run VGG block 1 through the round-2 "
                         "fused Pallas kernel (measured slower in the full "

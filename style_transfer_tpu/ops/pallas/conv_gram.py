@@ -11,14 +11,15 @@ and the input cotangent from the Gram cotangent (backward), so with the
 block 1-4 chain (``block1_packed.py``, ``block2.py``, ``conv_pair.py``)
 the ENTIRE VGG forward+backward runs in Pallas and no XLA conv remains.
 
-Per tile:
+Per tile (1-row tile halos in-kernel; mesh shards additionally carry a
+2-row ``ppermute`` halo — see ``HALO``):
 
-    forward:  input rows (1-row halos) -> 9-tap conv + bias + ReLU ->
-              rows zeroed outside the true image -> activation written as
-              the backward residual; Gram accumulated as a C-wide syrk.
-    backward: y rows (1-row halos) -> dy = y @ S (the symmetrized,
-              normalized Gram cotangent) -> ReLU gate (y > 0) -> zeroed
-              outside the true image -> transposed taps -> input cotangent.
+    forward:  input rows -> 9-tap conv + bias + ReLU -> rows zeroed
+              outside the true image -> activation written as the
+              backward residual; Gram accumulated as a C-wide syrk.
+    backward: y rows -> dy = y @ S (the symmetrized, normalized Gram
+              cotangent) -> ReLU gate (y > 0) -> zeroed outside the true
+              image -> transposed taps -> input cotangent.
 
 Checked against the jnp oracle in ``tests/test_conv_gram.py`` (interpret
 mode off-TPU). The reference computes this layer inside Caffe's cuDNN
@@ -204,8 +205,14 @@ conv_gram.defvjp(_conv_gram_fwd, _conv_gram_bwd)
 
 # ------------------------------------------------- conv+gram on a spatial mesh
 
-HALO = 1  # d_x rows [lo, hi) need dpre rows [lo-1, hi], hence y [lo-1, hi]
-# and input rows [lo-1, hi] — one halo row each way at every stage.
+HALO = 2  # one row more than the dataflow minimum (d_x rows [lo, hi) need
+# dpre rows [lo-1, hi], y [lo-1, hi], input [lo-2, hi+1]): the kernels'
+# edge halo blocks CLAMP out-of-array rows, and on an interior shard a
+# clamped row aliases a VALID global row index, so the in-kernel global
+# masks don't zero it — the outermost extension row each way is therefore
+# garbage (wrong-input y in the forward residual, duplicate-row dpre in
+# the backward) and the extra halo row keeps that garbage one tap away
+# from the center slice (the same margin trick as conv_pair's HALO=4).
 
 
 def _local_fwd(x, k, b, *, axis, n_dev):
@@ -213,7 +220,7 @@ def _local_fwd(x, k, b, *, axis, n_dev):
     idx = jax.lax.axis_index(axis)
     up = jax.lax.ppermute(x[:, -HALO:], axis, [(i, i + 1) for i in range(n_dev - 1)])
     down = jax.lax.ppermute(x[:, :HALO], axis, [(i, i - 1) for i in range(1, n_dev)])
-    xe = jnp.concatenate([up, x, down], axis=1)[0]  # (h_l + 2, W, Cin)
+    xe = jnp.concatenate([up, x, down], axis=1)[0]  # (h_l + 4, W, Cin)
     off = idx * h_l - HALO
     cout = k.shape[3]
     y, gram = _fwd(
@@ -225,7 +232,7 @@ def _local_fwd(x, k, b, *, axis, n_dev):
 
 def make_sharded_conv_gram(mesh, axis: str):
     """:func:`conv_gram` carried onto a 1-D spatial mesh: each device runs
-    the kernel on its own rows plus a 1-row ``ppermute`` halo, Grams
+    the kernel on its own rows plus a 2-row ``ppermute`` halo, Grams
     ``psum`` over ICI, and the backward needs NO collective at all — the
     Gram cotangent arrives replicated and the stored extended-row
     activations already cover the halo. Caller gates: N == 1, H divisible

@@ -541,6 +541,43 @@ def test_packed_block4_full_chain_end_to_end(st, images):
     np.testing.assert_allclose(out_packed, out_oracle, rtol=2e-3, atol=3e-4)
 
 
+def test_packed_block4_full_chain_dispatches_conv_gram(st, images, monkeypatch):
+    """With the block-4 tail chained and conv5_1 the sole remaining
+    (style-only) layer, the fused conv+Gram kernel carries it — the whole
+    VGG forward runs in Pallas and extract_features is never called."""
+    from style_transfer_tpu.models import vgg as vgg_mod
+    from style_transfer_tpu.ops.pallas import conv_gram as CG
+
+    calls = []
+    real = CG.conv_gram
+    monkeypatch.setattr(CG, "conv_gram", lambda *a: calls.append(1) or real(*a))
+
+    # the objective must not fall back to extract_features (the capture
+    # programs legitimately use it for the target features)
+    real_extract = vgg_mod.extract_features
+
+    def spy_extract(*a, **kw):
+        assert kw.get("start_block", 1) == 1, (
+            "objective fell back to extract_features mid-chain"
+        )
+        return real_extract(*a, **kw)
+
+    monkeypatch.setattr(vgg_mod, "extract_features", spy_extract)
+    content, style = images
+    st2 = StyleTransfer(params=st.params)  # fresh program cache
+    out = st2.stylize(
+        content, style,
+        _small_cfg(
+            size=(64, 48), min_scale=64, iterations=(2,),
+            content_layers=("conv4_2",),
+            style_layers=("conv1_1", "conv2_1", "conv3_1", "conv4_1", "conv5_1"),
+            packed_block1=True, packed_block2=True, packed_block3=True,
+            packed_block4=True, use_fused=True,
+        ),
+    )
+    assert calls and np.isfinite(out).all()
+
+
 def test_packed_block4_tail_skipped_when_tail_layer_requested(st, images):
     """A block-4-tail feature layer (conv4_4) forces the front-pair-only
     path (tail activations must materialize in XLA); the result still
