@@ -616,3 +616,20 @@ def test_packed_chain_under_remat_is_exact(st, images):
     out_remat = st.stylize(content, style, _small_cfg(remat=True, **cfg_kw))
     out_plain = st.stylize(content, style, _small_cfg(remat=False, **cfg_kw))
     np.testing.assert_array_equal(out_remat, out_plain)
+
+
+def test_full_chain_under_remat_is_exact(st, images):
+    """Same bit-exactness guarantee for the chain through block 4 and the
+    conv5_1 conv+Gram kernel (every kernel call remats independently)."""
+    content, style = images
+    cfg_kw = dict(
+        size=(64, 48), min_scale=64,
+        iterations=(3,),
+        content_layers=("conv4_2",),
+        style_layers=("conv1_1", "conv2_1", "conv3_1", "conv4_1", "conv5_1"),
+        packed_block1=True, packed_block2=True, packed_block3=True,
+        packed_block4=True, use_fused=True,
+    )
+    out_remat = st.stylize(content, style, _small_cfg(remat=True, **cfg_kw))
+    out_plain = st.stylize(content, style, _small_cfg(remat=False, **cfg_kw))
+    np.testing.assert_array_equal(out_remat, out_plain)

@@ -109,3 +109,43 @@ def test_shape_validation():
     k2, b2 = _w(r, 128, 128)
     with pytest.raises(ValueError, match="even"):
         CP.pair_pool(jnp.zeros((1, 15, 16, 256)), *_w(r, 256, 256), *_w(r, 256, 256))
+
+
+def test_block4_chain_gradient_matches_oracle():
+    """pair_gram -> pair_pool at the REAL block-4 channel widths
+    (256->512, 512->512): values and the input gradient. Small spatial
+    extents keep interpret mode fast; the channel widths are what block 4
+    dispatches in production (api.py's packed_block4 chain)."""
+    r = np.random.RandomState(21)
+    k1, b1 = _w(r, 256, 512)
+    k2, b2 = _w(r, 512, 512)
+    k3, b3 = _w(r, 512, 512)
+    k4, b4 = _w(r, 512, 512)
+    x = jnp.asarray(r.randn(1, 6, 8, 256).astype(np.float32) * 0.3)
+
+    def loss_oracle(x):
+        y1 = jax.nn.relu(V._conv(x, k1, b1))
+        y2 = jax.nn.relu(V._conv(y1, k2, b2))
+        y3 = jax.nn.relu(V._conv(y2, k3, b3))
+        y4 = jax.nn.relu(V._conv(y3, k4, b4))
+        p = V._pool(y4, "average", None)
+        return jnp.sum(p.astype(jnp.float32) ** 2) + 10.0 * jnp.sum(L.gram_matrix(y1) ** 2)
+
+    def loss_k(x):
+        y2, g = CP.pair_gram(x, k1, b1, k2, b2)
+        p = CP.pair_pool(y2, k3, b3, k4, b4)
+        return jnp.sum(p.astype(jnp.float32) ** 2) + 10.0 * jnp.sum(g**2)
+
+    y1 = jax.nn.relu(V._conv(x, k1, b1))
+    y2 = jax.nn.relu(V._conv(y1, k2, b2))
+    y3 = jax.nn.relu(V._conv(y2, k3, b3))
+    pres = [V._conv(x, k1, b1), V._conv(y1, k2, b2), V._conv(y2, k3, b3),
+            V._conv(y3, k4, b4)]
+    margin = min(float(jnp.min(jnp.abs(p))) for p in pres)
+    assert margin > 2e-6, f"pick another seed (margin {margin:.1e})"
+
+    v1, g1 = jax.jit(jax.value_and_grad(loss_oracle))(x)
+    v2, g2 = jax.jit(jax.value_and_grad(loss_k))(x)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-5)
+    scale = float(jnp.max(jnp.abs(g1)))
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=2e-5 * max(1.0, scale))
