@@ -873,8 +873,12 @@ class StyleTransfer:
         if len(blend) != len(styles):
             raise ValueError(f"{len(styles)} styles but {len(blend)} blend weights")
 
-        content_t = imgio.to_nhwc(content)
-        style_ts = [imgio.to_nhwc(s) for s in styles]
+        # Device-resident once: every scale resizes these on device, and a
+        # host-side numpy array here would re-upload the full-resolution
+        # content (50 MB fp32 at 2048px) across the host<->device link at
+        # EVERY scale of the pyramid (~0.3 s/scale on a tunneled link).
+        content_t = jnp.asarray(imgio.to_nhwc(content))
+        style_ts = [jnp.asarray(imgio.to_nhwc(s)) for s in styles]
 
         # jitted building blocks — cached per config on the instance, so
         # repeated stylize() calls (a serving loop) reuse traced programs
