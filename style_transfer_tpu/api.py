@@ -520,15 +520,17 @@ class StyleTransfer:
             # instead of living across the whole step — only the small
             # inter-block pool boundaries persist, the same storage shape
             # the XLA blockwise-remat path has.
-            # W gate: widths up to 2048 are compile-validated on hardware;
-            # at W=4096 (the 4K scale) the block-2 forward exceeds the 16 MB
-            # scoped-VMEM limit by 2.5 MB even at the minimum 2-row tile, so
-            # wider scales keep the XLA path.
+            # W gate: widths up to 4096 (the 4K scale) are compile-validated
+            # on hardware. Above effective width 2048 the kernels compute
+            # their fp32 tap sums in W-chunks (ops/pallas/block1_packed.py
+            # ``_w_chunks``) — without chunking the block-2 forward exceeded
+            # the 16 MB scoped-VMEM limit by 2.5 MB at the minimum 2-row
+            # tile. Wider-than-4096 scales keep the XLA path (unvalidated).
             if (
                 packed_b1
                 and image.shape[1] % 2 == 0
                 and image.shape[2] % 2 == 0
-                and image.shape[2] <= 2048
+                and image.shape[2] <= 4096
                 and (
                     self.mesh is None
                     # mesh shards must be clean, even, and >= the 4-row halo

@@ -188,37 +188,81 @@ def _col2im_packed(dpt: jnp.ndarray, w: int) -> jnp.ndarray:
 # ------------------------------------------------------------------ kernels
 
 
-def _taps_packed(xh, k_ref, *, flip: bool, contract_out: bool):
-    """9 packed taps of a 3x3 conv over an H-extended packed tile.
+def _w_chunks(w: int, c: int) -> int:
+    """Static W-chunk count for the kernels' fp32 tap accumulators.
 
-    ``xh``: (rows+2, W/2, 128) with one halo row above and below. Returns
-    (rows, W/2, 128) fp32. ``flip``/``contract_out`` select the transposed
-    (input-gradient) form. Packed-column shifts ride a zero-column concat
-    on the sublane axis — the zero column is exactly the W-edge padding
-    (out-of-image parities have structurally zero kernel blocks).
-    """
+    Above effective width 2048 (``w * c / 64`` — the per-row VMEM cost
+    normalization of :func:`_tile_h`'s callers) a full-width fp32
+    accumulator at the minimum 2-row tile overflows the 16 MB scoped-VMEM
+    budget (measured: block 2 at the 4096px scale misses by 2.5 MB).
+    Computing the tap sums in W-slices and consuming each slice
+    immediately (bias/ReLU/cast/store) keeps at most one chunk-sized fp32
+    value live; the result is BIT-identical (the same per-element sum in
+    the same order). Chunk widths stay sublane-tileable (the sliced axis
+    is second-minor); a width that cannot split evenly keeps one chunk —
+    callers gate on the compile-validated width instead."""
+    eff = w * c // 64
+    n = max(1, eff // 2048)
+    while n > 1 and (w % n or (w // n) % 8):
+        n -= 1
+    return n
+
+
+def _taps_w(xh, k_ref, *, flip: bool, contract_out: bool, nchunks: int, post):
+    """9 taps of a 3x3 conv over an H-extended tile, in static W-slices.
+
+    ``xh``: (rows+2, W, C) with one halo row above and below (W is the
+    packed-column axis for the packed block-1 kernels, the pixel axis for
+    the conv-pair kernels — the tap geometry is identical). ``post(acc,
+    c0, c1)`` consumes each fp32 chunk (rows, cw, C') as soon as it is
+    produced — applying the pointwise epilogue and casting down, or
+    storing into a ref slice — so the full-width fp32 tensor never
+    exists. Returns the list of ``post`` results (chunks in W order).
+    ``flip``/``contract_out`` select the transposed (input-gradient) form.
+    Column shifts ride a zero-column concat on the sublane axis — the zero
+    column is exactly the W-edge padding. With ``nchunks=1`` this is
+    exactly the unchunked computation."""
     rows = xh.shape[0] - 2
-    w2 = xh.shape[1]
+    w = xh.shape[1]
     zcol = jnp.zeros((xh.shape[0], 1, xh.shape[2]), xh.dtype)
-    xw = jnp.concatenate([zcol, xh, zcol], axis=1)  # (rows+2, W/2+2, 128)
-    acc = None
-    for dy in range(3):
-        for pi in range(3):
-            patch = jax.lax.slice(xw, (dy, pi, 0), (dy + rows, pi + w2, xw.shape[2]))
-            k = k_ref[2 - dy, 2 - pi] if flip else k_ref[dy, pi]
-            dims = (((2,), (1,)), ((), ())) if contract_out else (((2,), (0,)), ((), ()))
-            term = jax.lax.dot_general(patch, k, dims, preferred_element_type=jnp.float32)
-            acc = term if acc is None else acc + term
-    return acc
+    xw = jnp.concatenate([zcol, xh, zcol], axis=1)  # (rows+2, W+2, C)
+    cw = w // nchunks
+    dims = (((2,), (1,)), ((), ())) if contract_out else (((2,), (0,)), ((), ()))
+    outs = []
+    for j in range(nchunks):
+        acc = None
+        for dy in range(3):
+            for dx in range(3):
+                patch = jax.lax.slice(
+                    xw, (dy, j * cw + dx, 0),
+                    (dy + rows, j * cw + dx + cw, xw.shape[2]),
+                )
+                k = k_ref[2 - dy, 2 - dx] if flip else k_ref[dy, dx]
+                term = jax.lax.dot_general(
+                    patch, k, dims, preferred_element_type=jnp.float32
+                )
+                acc = term if acc is None else acc + term
+        outs.append(post(acc, j * cw, (j + 1) * cw))
+    return outs
+
+
+def _taps_packed(xh, k_ref, *, flip: bool, contract_out: bool):
+    """9 packed taps of a 3x3 conv over an H-extended packed tile:
+    :func:`_taps_w` unchunked. Returns (rows, W/2, 128) fp32."""
+    return _taps_w(
+        xh, k_ref, flip=flip, contract_out=contract_out, nchunks=1,
+        post=lambda acc, c0, c1: acc,
+    )[0]
 
 
 def _fwd_kernel(p_ref, pup_ref, pdown_ref, k1p_ref, b1p_ref, k2p_ref, b2p_ref,
                 pm_ref, off_ref, pool_ref, gram_ref, r1_ref, mask2_ref, acc_ref,
-                *, true_h, gram_lo, gram_hi):
+                *, true_h, gram_lo, gram_hi, nchunks):
     i = pl.program_id(0)
     nt = pl.num_programs(0)
     tile = p_ref.shape[0]
     w2 = p_ref.shape[1]
+    cw = w2 // nchunks
     off = off_ref[0]  # global row index of array row 0 (nonzero under a mesh)
 
     @pl.when(i == 0)
@@ -230,30 +274,46 @@ def _fwd_kernel(p_ref, pup_ref, pdown_ref, k1p_ref, b1p_ref, k2p_ref, b2p_ref,
     pdown = jnp.where(i == nt - 1, 0, pdown_ref[0:1])
     pe = jnp.concatenate([pup, p_ref[:], pdown], axis=0)  # (tile+2, W/2, 128)
 
-    # conv1_1: one full-depth packed matmul; rows outside the true image
-    # (GLOBAL coordinates: array row + off) are forced to zero (conv1_2's
-    # SAME padding at the true image edges).
-    y1e = jax.lax.dot_general(
-        pe, k1p_ref[:], (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    y1e = jnp.maximum(y1e + b1p_ref[0].astype(jnp.float32), 0.0)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, y1e.shape, 0) + i * tile - 1 + off
-    y1e = jnp.where((row_ids < 0) | (row_ids >= true_h), 0.0, y1e).astype(r1_ref.dtype)
+    # conv1_1: one full-depth packed matmul (pointwise in W — chunked so
+    # the fp32 product never exists full-width); rows outside the true
+    # image (GLOBAL coordinates: array row + off) are forced to zero
+    # (conv1_2's SAME padding at the true image edges).
+    def conv1(pc):
+        y = jax.lax.dot_general(
+            pc, k1p_ref[:], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = jnp.maximum(y + b1p_ref[0].astype(jnp.float32), 0.0)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, y.shape, 0) + i * tile - 1 + off
+        return jnp.where((row_ids < 0) | (row_ids >= true_h), 0.0, y).astype(
+            r1_ref.dtype
+        )
+
+    if nchunks == 1:
+        y1e = conv1(pe)
+    else:
+        y1e = jnp.concatenate(
+            [conv1(pe[:, c0 : c0 + cw]) for c0 in range(0, w2, cw)], axis=1
+        )
     r1 = y1e[1:-1]
     r1_ref[:] = r1
 
-    # conv1_2: 9 packed full-depth taps, fp32 tap-sum; ReLU mask saved
-    pre = _taps_packed(y1e, k2p_ref, flip=False, contract_out=False)
-    pre = pre + b2p_ref[0].astype(jnp.float32)
-    mask2_ref[:] = (pre > 0.0).astype(mask2_ref.dtype)
-    y2 = jnp.maximum(pre, 0.0)
+    # conv1_2: 9 packed full-depth taps, fp32 tap-sum per W-chunk; ReLU
+    # mask saved; 2x2 average pool (lane half as a matmul, row half as an
+    # outer split) applied per chunk.
+    def post(pre, c0, c1):
+        pre = pre + b2p_ref[0].astype(jnp.float32)
+        mask2_ref[:, c0:c1] = (pre > 0.0).astype(mask2_ref.dtype)
+        y2 = jnp.maximum(pre, 0.0)
+        wsum = jax.lax.dot_general(
+            y2, pm_ref[:], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (tile, cw, 64), 0.25-weighted pair sums
+        wsum = wsum.reshape(tile // 2, 2, c1 - c0, C)
+        pool_ref[:, c0:c1] = (wsum[:, 0] + wsum[:, 1]).astype(pool_ref.dtype)
 
-    # 2x2 average pool: lane half as a matmul, row half as an outer split
-    wsum = jax.lax.dot_general(
-        y2, pm_ref[:], (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (tile, W/2, 64), 0.25-weighted pair sums
-    wsum = wsum.reshape(tile // 2, 2, w2, C)
-    pool_ref[:] = (wsum[:, 0] + wsum[:, 1]).astype(pool_ref.dtype)
+    _taps_w(y1e, k2p_ref, flip=False, contract_out=False, nchunks=nchunks,
+            post=post)
 
     # conv1_1 Gram: 128-wide syrk; diagonal blocks summed in XLA afterwards.
     # Under a mesh only rows in the static LOCAL-row window [gram_lo,
@@ -275,7 +335,8 @@ def _fwd_kernel(p_ref, pup_ref, pdown_ref, k1p_ref, b1p_ref, k2p_ref, b2p_ref,
 
 def _bwd_kernel(r1_ref, r1up_ref, r1down_ref, m2_ref, m2u2_ref, m2u1_ref,
                 m2d1_ref, m2d2_ref, dp_ref, dpup_ref, dpdown_ref,
-                k1t_ref, k2p_ref, sp_ref, off_ref, dx_ref, *, true_h):
+                k1t_ref, k2p_ref, sp_ref, off_ref, dx_ref, *, true_h,
+                nchunks):
     """Image cotangent for one tile, fully in-kernel.
 
     ``dpre1`` (the conv1_1 pre-activation cotangent) is computed on the
@@ -308,27 +369,57 @@ def _bwd_kernel(r1_ref, r1up_ref, r1down_ref, m2_ref, m2u2_ref, m2u1_ref,
         r2 * 2, w2, 2 * C
     ) * jnp.asarray(0.25, dpx.dtype)  # (tile+4, W/2, 128), rows r0-2 ..
 
-    rows4 = jax.lax.broadcasted_iota(jnp.int32, dy2.shape, 0) + i * tile - 2 + off
-    da2 = dy2 * m2e.astype(dy2.dtype)
-    da2 = jnp.where((rows4 < 0) | (rows4 >= true_h), 0.0, da2).astype(r1_ref.dtype)
+    cw = w2 // nchunks
+    if nchunks == 1:
+        rows4 = jax.lax.broadcasted_iota(jnp.int32, dy2.shape, 0) + i * tile - 2 + off
+        da2 = dy2 * m2e.astype(dy2.dtype)
+        da2 = jnp.where((rows4 < 0) | (rows4 >= true_h), 0.0, da2).astype(
+            r1_ref.dtype
+        )
+    else:
+        # pointwise in W: chunk so no full-width fp32 product exists
+        cshape = (dy2.shape[0], cw, dy2.shape[2])
+        rows4 = jax.lax.broadcasted_iota(jnp.int32, cshape, 0) + i * tile - 2 + off
+        da2 = jnp.concatenate(
+            [
+                jnp.where(
+                    (rows4 < 0) | (rows4 >= true_h),
+                    0.0,
+                    dy2[:, c0 : c0 + cw] * m2e[:, c0 : c0 + cw].astype(dy2.dtype),
+                ).astype(r1_ref.dtype)
+                for c0 in range(0, w2, cw)
+            ],
+            axis=1,
+        )
 
-    # dpre1 on the extended rows r0-1 .. r0+tile
-    dr1 = _taps_packed(da2, k2p_ref, flip=True, contract_out=True)  # (tile+2,) fp32
+    # dpre1 on the extended rows r0-1 .. r0+tile, per W-chunk
     r1e = jnp.concatenate([r1up_ref[0:1], r1_ref[:], r1down_ref[0:1]], axis=0)
-    f = r1e.reshape((tile + 2) * w2, 2 * C)
-    g = jax.lax.dot_general(
-        f, sp_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).reshape(tile + 2, w2, 2 * C)
-    gate = r1e.astype(jnp.float32) > 0.0  # no bf16 vector compare on TPU
-    dpre1 = jnp.where(gate, dr1 + g, 0.0)
-    rows2 = jax.lax.broadcasted_iota(jnp.int32, dpre1.shape, 0) + i * tile - 1 + off
-    dpre1 = jnp.where(
-        (rows2 < 0) | (rows2 >= true_h), 0.0, dpre1
-    ).astype(r1_ref.dtype)
+
+    def post_b(dr1, c0, c1):
+        r1c = r1e[:, c0:c1]
+        f = r1c.reshape((tile + 2) * (c1 - c0), 2 * C)
+        g = jax.lax.dot_general(
+            f, sp_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(tile + 2, c1 - c0, 2 * C)
+        gate = r1c.astype(jnp.float32) > 0.0  # no bf16 vector compare on TPU
+        dp = jnp.where(gate, dr1 + g, 0.0)
+        rows2 = jax.lax.broadcasted_iota(jnp.int32, dp.shape, 0) + i * tile - 1 + off
+        return jnp.where((rows2 < 0) | (rows2 >= true_h), 0.0, dp).astype(
+            r1_ref.dtype
+        )
+
+    chunks = _taps_w(
+        da2, k2p_ref, flip=True, contract_out=True, nchunks=nchunks, post=post_b
+    )
+    dpre1 = chunks[0] if nchunks == 1 else jnp.concatenate(chunks, axis=1)
 
     # transposed conv1_1 straight to packed image-cotangent lanes (u*4 + c)
-    dx_ref[:] = _taps_packed(dpre1, k1t_ref, flip=False, contract_out=False).astype(
-        dx_ref.dtype
+    _taps_w(
+        dpre1, k1t_ref, flip=False, contract_out=False, nchunks=nchunks,
+        post=lambda acc, c0, c1: dx_ref.__setitem__(
+            (slice(None), slice(c0, c1)), acc.astype(dx_ref.dtype)
+        ),
     )
 
 
@@ -379,7 +470,8 @@ def _fwd(x2d, k1, b1, k2, b2, true_h, off=None, gram_rows=None):
     pup, pdown = _halo_specs(w2, tile, h)
     grid = (h // tile,)
     pool, gram, r1, mask2 = pl.pallas_call(
-        functools.partial(_fwd_kernel, true_h=true_h, gram_lo=gram_lo, gram_hi=gram_hi),
+        functools.partial(_fwd_kernel, true_h=true_h, gram_lo=gram_lo,
+                          gram_hi=gram_hi, nchunks=_w_chunks(w2, 2 * C)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, w2, 2 * C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -450,7 +542,8 @@ def _bwd(r1p, mask2, k1, k2, d_pool, s, true_h, off=None):
     sp = sp.at[:C, :C].set(s).at[C:, C:].set(s)
     center = lambda i: (i, 0, 0)
     dx8 = pl.pallas_call(
-        functools.partial(_bwd_kernel, true_h=true_h),
+        functools.partial(_bwd_kernel, true_h=true_h,
+                          nchunks=_w_chunks(w2, 2 * C)),
         grid=(h // tile,),
         in_specs=[
             pl.BlockSpec((tile, w2, 2 * C), center, memory_space=pltpu.VMEM),

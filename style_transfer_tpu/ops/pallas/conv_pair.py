@@ -42,8 +42,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from style_transfer_tpu.ops.pallas.block1 import _conv_taps, _pool2x2
-from style_transfer_tpu.ops.pallas.block1_packed import _row_halo, _tile_h
+from style_transfer_tpu.ops.pallas.block1 import _pool2x2
+from style_transfer_tpu.ops.pallas.block1_packed import (
+    _row_halo,
+    _taps_w as _conv_taps_w,
+    _tile_h,
+    _w_chunks,
+)
 
 
 def _interpret() -> bool:
@@ -56,9 +61,11 @@ def _tile_for(w: int, cmid: int, backward: bool = False) -> int:
     return _tile_h(w * cmid // 64, backward)
 
 
+
+
 def _fwd_kernel(p_ref, pu2_ref, pu1_ref, pd1_ref, pd2_ref, k1_ref, b1_ref,
                 k2_ref, b2_ref, off_ref, out_ref, r1_ref, mask2_ref, *refs,
-                w, true_h, pool, gram, gram_lo, gram_hi):
+                w, true_h, pool, gram, gram_lo, gram_hi, nchunks):
     i = pl.program_id(0)
     tile = p_ref.shape[0]
     cmid = r1_ref.shape[2]
@@ -80,21 +87,34 @@ def _fwd_kernel(p_ref, pu2_ref, pu1_ref, pd1_ref, pd2_ref, k1_ref, b1_ref,
     rows4 = jax.lax.broadcasted_iota(jnp.int32, pe.shape, 0) + i * tile - 2 + off
     pe = jnp.where((rows4 < 0) | (rows4 >= true_h), 0.0, pe)
 
-    y1e = _conv_taps(pe, k1_ref, flip=False, contract_out=False)
-    y1e = jnp.maximum(y1e + b1_ref[0].astype(jnp.float32), 0.0)
-    rows2 = jax.lax.broadcasted_iota(jnp.int32, y1e.shape, 0) + i * tile - 1 + off
-    y1e = jnp.where((rows2 < 0) | (rows2 >= true_h), 0.0, y1e).astype(r1_ref.dtype)
+    def post_a(acc, c0, c1):
+        y = jnp.maximum(acc + b1_ref[0].astype(jnp.float32), 0.0)
+        rows2 = jax.lax.broadcasted_iota(jnp.int32, y.shape, 0) + i * tile - 1 + off
+        return jnp.where((rows2 < 0) | (rows2 >= true_h), 0.0, y).astype(
+            r1_ref.dtype
+        )
+
+    chunks = _conv_taps_w(
+        pe, k1_ref, flip=False, contract_out=False, nchunks=nchunks, post=post_a
+    )
+    y1e = chunks[0] if nchunks == 1 else jnp.concatenate(chunks, axis=1)
     r1 = y1e[1:-1]
     r1_ref[:] = r1
 
-    pre = _conv_taps(y1e, k2_ref, flip=False, contract_out=False)
-    pre = pre + b2_ref[0].astype(jnp.float32)
-    mask2_ref[:] = (pre > 0.0).astype(mask2_ref.dtype)
-    y2 = jnp.maximum(pre, 0.0)
-    if pool:
-        out_ref[:] = _pool2x2(y2, tile, w, y2.shape[2]).astype(out_ref.dtype)
-    else:
-        out_ref[:] = y2.astype(out_ref.dtype)
+    def post_b(acc, c0, c1):
+        pre = acc + b2_ref[0].astype(jnp.float32)
+        mask2_ref[:, c0:c1] = (pre > 0.0).astype(mask2_ref.dtype)
+        y2 = jnp.maximum(pre, 0.0)
+        if pool:
+            out_ref[:, c0 // 2 : c1 // 2] = _pool2x2(
+                y2, tile, c1 - c0, y2.shape[2]
+            ).astype(out_ref.dtype)
+        else:
+            out_ref[:, c0:c1] = y2.astype(out_ref.dtype)
+
+    _conv_taps_w(
+        y1e, k2_ref, flip=False, contract_out=False, nchunks=nchunks, post=post_b
+    )
 
     if gram:
         # Under a mesh only rows in the static LOCAL-row window [gram_lo,
@@ -115,7 +135,7 @@ def _fwd_kernel(p_ref, pu2_ref, pu1_ref, pd1_ref, pd2_ref, k1_ref, b1_ref,
             gram_ref[:] = acc_ref[:]
 
 
-def _bwd_kernel(*refs, w, true_h, pool, gram):
+def _bwd_kernel(*refs, w, true_h, pool, gram, nchunks):
     """Input cotangent for one tile: [unpool ->] conv_b ReLU gate ->
     transposed conv_b taps on rows r0-1 .. r0+tile [-> + Gram term] ->
     conv_a ReLU gate -> transposed conv_a taps.
@@ -164,29 +184,60 @@ def _bwd_kernel(*refs, w, true_h, pool, gram):
     dout2_ref = next(it)
     off = off_ref[0]  # global row index of array row 0 (nonzero under a mesh)
 
-    rows4 = jax.lax.broadcasted_iota(jnp.int32, dy2.shape, 0) + i * tile - 2 + off
-    da2 = dy2.astype(jnp.float32) * m2e.astype(jnp.float32)
-    da2 = jnp.where((rows4 < 0) | (rows4 >= true_h), 0.0, da2).astype(r1_ref.dtype)
+    if nchunks == 1:
+        rows4 = jax.lax.broadcasted_iota(jnp.int32, dy2.shape, 0) + i * tile - 2 + off
+        da2 = dy2.astype(jnp.float32) * m2e.astype(jnp.float32)
+        da2 = jnp.where((rows4 < 0) | (rows4 >= true_h), 0.0, da2).astype(
+            r1_ref.dtype
+        )
+    else:
+        # pointwise in W: chunk so the fp32 product never exists full-width
+        cw = w // nchunks
+        cshape = (dy2.shape[0], cw, dy2.shape[2])
+        rows4 = jax.lax.broadcasted_iota(jnp.int32, cshape, 0) + i * tile - 2 + off
+        da2 = jnp.concatenate(
+            [
+                jnp.where(
+                    (rows4 < 0) | (rows4 >= true_h),
+                    0.0,
+                    dy2[:, c0 : c0 + cw].astype(jnp.float32)
+                    * m2e[:, c0 : c0 + cw].astype(jnp.float32),
+                ).astype(r1_ref.dtype)
+                for c0 in range(0, w, cw)
+            ],
+            axis=1,
+        )
 
-    dr1 = _conv_taps(da2, k2_ref, flip=True, contract_out=True)  # (tile+2,) fp32
     r1e = jnp.concatenate([r1up_ref[0:1], r1_ref[:], r1down_ref[0:1]], axis=0)
-    if gram:
-        f = r1e.reshape((tile + 2) * w, cmid)
-        g = jax.lax.dot_general(
-            f, s_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(tile + 2, w, cmid)
-        dr1 = dr1 + g
-    gate = r1e.astype(jnp.float32) > 0.0
-    dpre1 = jnp.where(gate, dr1, 0.0)
-    rows2 = jax.lax.broadcasted_iota(jnp.int32, dpre1.shape, 0) + i * tile - 1 + off
-    dpre1 = jnp.where(
-        (rows2 < 0) | (rows2 >= true_h), 0.0, dpre1
-    ).astype(r1_ref.dtype)
 
-    dout2_ref[:] = _conv_taps(
-        dpre1, k1_ref, flip=True, contract_out=True
-    ).astype(dout2_ref.dtype)
+    def post_b(acc, c0, c1):
+        dr1 = acc
+        r1c = r1e[:, c0:c1]
+        if gram:
+            f = r1c.reshape((tile + 2) * (c1 - c0), cmid)
+            g = jax.lax.dot_general(
+                f, s_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(tile + 2, c1 - c0, cmid)
+            dr1 = dr1 + g
+        gate = r1c.astype(jnp.float32) > 0.0
+        dp = jnp.where(gate, dr1, 0.0)
+        rows2 = jax.lax.broadcasted_iota(jnp.int32, dp.shape, 0) + i * tile - 1 + off
+        return jnp.where((rows2 < 0) | (rows2 >= true_h), 0.0, dp).astype(
+            r1_ref.dtype
+        )
+
+    chunks = _conv_taps_w(
+        da2, k2_ref, flip=True, contract_out=True, nchunks=nchunks, post=post_b
+    )
+    dpre1 = chunks[0] if nchunks == 1 else jnp.concatenate(chunks, axis=1)
+
+    _conv_taps_w(
+        dpre1, k1_ref, flip=True, contract_out=True, nchunks=nchunks,
+        post=lambda acc, c0, c1: dout2_ref.__setitem__(
+            (slice(None), slice(c0, c1)), acc.astype(dout2_ref.dtype)
+        ),
+    )
 
 
 def _pad_rows(x, tile):
@@ -197,15 +248,18 @@ def _pad_rows(x, tile):
     return x
 
 
-def _fwd(x2d, k1, b1, k2, b2, true_h, pool, gram, off=None, gram_rows=None):
+def _fwd(x2d, k1, b1, k2, b2, true_h, pool, gram, off=None, gram_rows=None,
+         w_chunks=None):
     """``off`` (traced int32, default 0) is the GLOBAL row index of array
     row 0 — nonzero when ``x2d`` is a halo-extended mesh shard, so the
     edge-zeroing masks work in global coordinates. ``gram_rows`` is a
     static local-row window ``(lo, hi)`` restricting the Gram accumulation
-    to the rows this shard owns (halo rows are the neighbour's)."""
+    to the rows this shard owns (halo rows are the neighbour's).
+    ``w_chunks`` overrides :func:`_w_chunks` (tests)."""
     h, w, cin = x2d.shape
     cmid = k1.shape[3]
     tile = _tile_for(w, cmid)
+    nchunks = _w_chunks(w, cmid) if w_chunks is None else w_chunks
     dt = x2d.dtype
     gram_lo, gram_hi = gram_rows if gram_rows is not None else (0, 1 << 30)
     off_arr = jnp.reshape(jnp.asarray(0 if off is None else off, jnp.int32), (1,))
@@ -234,7 +288,7 @@ def _fwd(x2d, k1, b1, k2, b2, true_h, pool, gram, off=None, gram_rows=None):
         scratch.append(pltpu.VMEM((cmid, cmid), jnp.float32))
     res = pl.pallas_call(
         functools.partial(_fwd_kernel, w=w, true_h=true_h, pool=pool, gram=gram,
-                          gram_lo=gram_lo, gram_hi=gram_hi),
+                          gram_lo=gram_lo, gram_hi=gram_hi, nchunks=nchunks),
         grid=(h // tile,),
         in_specs=[
             pl.BlockSpec((tile, w, cin), center, memory_space=pltpu.VMEM),
@@ -270,12 +324,14 @@ def _fwd(x2d, k1, b1, k2, b2, true_h, pool, gram, off=None, gram_rows=None):
     return out, r1, mask2, None
 
 
-def _bwd(r1, mask2, k1, k2, d_out, s, true_h, pool, gram, off=None):
+def _bwd(r1, mask2, k1, k2, d_out, s, true_h, pool, gram, off=None,
+         w_chunks=None):
     """``off`` as in :func:`_fwd`: the global row of array row 0, so the
     edge masks hold in global coordinates for halo-extended mesh shards."""
     h, w, cmid = r1.shape
     cin = k1.shape[2]
     tile = _tile_for(w, cmid, backward=True)
+    nchunks = _w_chunks(w, cmid) if w_chunks is None else w_chunks
     dt = r1.dtype
     off_arr = jnp.reshape(jnp.asarray(0 if off is None else off, jnp.int32), (1,))
     center = lambda i: (i, 0, 0)
@@ -316,7 +372,8 @@ def _bwd(r1, mask2, k1, k2, d_out, s, true_h, pool, gram, off=None):
     in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # global row offset
     args.append(off_arr)
     din = pl.pallas_call(
-        functools.partial(_bwd_kernel, w=w, true_h=true_h, pool=pool, gram=gram),
+        functools.partial(_bwd_kernel, w=w, true_h=true_h, pool=pool, gram=gram,
+                          nchunks=nchunks),
         grid=(h // tile,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tile, w, cin), center, memory_space=pltpu.VMEM),
@@ -331,7 +388,7 @@ def _bwd(r1, mask2, k1, k2, d_out, s, true_h, pool, gram, off=None):
     return din
 
 
-def make_conv_pair(*, pool: bool, gram: bool):
+def make_conv_pair(*, pool: bool, gram: bool, w_chunks=None):
     """Build a custom-VJP fused conv pair with the given epilogues.
 
     Returned callable: ``f(x, k1, b1, k2, b2)`` with ``x`` (1, H, W, Cin),
@@ -340,6 +397,8 @@ def make_conv_pair(*, pool: bool, gram: bool):
     (1, H, W, Cmid) second activation, and ``gram`` is the FIRST conv's
     (Cmid, Cmid) fp32 Gram normalized by H*W. The backward differentiates
     w.r.t. ``x`` only (VGG weights are frozen in image optimization).
+    ``w_chunks`` forces the W-chunk count (tests; default: auto per
+    :func:`_w_chunks`).
     """
 
     @jax.custom_vjp
@@ -354,7 +413,8 @@ def make_conv_pair(*, pool: bool, gram: bool):
         cmid = k1.shape[3]
         tile = _tile_for(w, cmid)
         out, r1, mask2, gram128 = _fwd(
-            _pad_rows(x[0], tile), k1, b1, k2, b2, h, pool, gram
+            _pad_rows(x[0], tile), k1, b1, k2, b2, h, pool, gram,
+            w_chunks=w_chunks,
         )
         out = out[None, : h // 2] if pool else out[None, :h]
         if gram:
@@ -376,7 +436,7 @@ def make_conv_pair(*, pool: bool, gram: bool):
         if r1.shape[0] != h:
             pad = r1.shape[0] - h
             dq = jnp.pad(dq, ((0, pad // 2 if pool else pad), (0, 0), (0, 0)))
-        din = _bwd(r1, mask2, k1, k2, dq, s, h, pool, gram)
+        din = _bwd(r1, mask2, k1, k2, dq, s, h, pool, gram, w_chunks=w_chunks)
         cmid = k1.shape[3]
         return (din[None, :h], jnp.zeros_like(k1), jnp.zeros((cmid,), k1.dtype),
                 jnp.zeros_like(k2), jnp.zeros((cmid,), k2.dtype))

@@ -93,3 +93,25 @@ def test_shape_validation(weights):
     k1, b1, k2, b2 = weights
     with pytest.raises(ValueError, match="even"):
         B.block1_packed(jnp.zeros((1, 15, 16, 3)), k1, b1, k2, b2)
+
+
+def test_w_chunked_taps_bit_identical(weights, monkeypatch):
+    """Above effective width 2048 (the 4096px scale) the kernel computes
+    its fp32 tap sums and conv1_1 matmuls in W-chunks to fit scoped VMEM.
+    Chunking must be BIT-identical — same per-element sums, same order —
+    values and image gradient."""
+    k1, b1, k2, b2 = weights
+    r = np.random.RandomState(9)
+    x = jnp.asarray(r.randn(1, 8, 16, 3).astype(np.float32) * 0.3)
+
+    def loss(x):
+        p, g = B.block1_packed(x, k1, b1, k2, b2)
+        return jnp.sum(p * p) + 100.0 * jnp.sum(g * g)
+
+    results = {}
+    for n in (1, 2):
+        monkeypatch.setattr(B, "_w_chunks", lambda w, c, _n=n: _n)
+        results[n] = jax.value_and_grad(loss)(x)
+    (v1, g1), (v2, g2) = results[1], results[2]
+    assert np.array_equal(np.asarray(v1), np.asarray(v2))
+    assert np.array_equal(np.asarray(g1), np.asarray(g2))

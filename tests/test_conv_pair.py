@@ -149,3 +149,48 @@ def test_block4_chain_gradient_matches_oracle():
     np.testing.assert_allclose(float(v2), float(v1), rtol=1e-5)
     scale = float(jnp.max(jnp.abs(g1)))
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=2e-5 * max(1.0, scale))
+
+
+@pytest.mark.parametrize("pool,gram", [(True, True), (True, False),
+                                       (False, True), (False, False)])
+def test_w_chunked_taps_bit_identical(pool, gram):
+    """Above effective width 2048 the kernels compute their fp32 tap sums
+    in W-chunks to fit scoped VMEM (the 4096px scale). Chunking must be
+    BIT-identical to the unchunked computation — the same per-element sum
+    in the same order — values and input gradients."""
+    r = np.random.RandomState(21)
+    k1, b1 = _w(r, 64, 128)
+    k2, b2 = _w(r, 128, 128)
+    x = jnp.asarray(r.randn(1, 8, 16, 64).astype(np.float32) * 0.3)
+
+    def loss_fn(pair):
+        def f(x):
+            out = pair(x, k1, b1, k2, b2)
+            if gram:
+                y, g = out
+                return jnp.sum(y * y) + 100.0 * jnp.sum(g * g)
+            return jnp.sum(out * out)
+        return f
+
+    v1, g1 = jax.value_and_grad(
+        loss_fn(CP.make_conv_pair(pool=pool, gram=gram, w_chunks=1))
+    )(x)
+    v2, g2 = jax.value_and_grad(
+        loss_fn(CP.make_conv_pair(pool=pool, gram=gram, w_chunks=2))
+    )(x)
+    assert np.array_equal(np.asarray(v1), np.asarray(v2))
+    assert np.array_equal(np.asarray(g1), np.asarray(g2))
+
+
+def test_w_chunks_auto():
+    """Auto chunk count: engages above effective width 2048, keeps chunk
+    widths divisible, degrades to 1 when the width cannot split."""
+    # compile-validated unchunked regime
+    assert CP._w_chunks(1024, 128) == 1   # block 2 at 2048px
+    assert CP._w_chunks(512, 256) == 1    # block 3 at 2048px
+    # the 4096px scale
+    assert CP._w_chunks(2048, 128) == 2   # block 2
+    assert CP._w_chunks(1024, 256) == 2   # block 3
+    assert CP._w_chunks(512, 512) == 2    # block 4
+    # indivisible width falls back to one chunk
+    assert CP._w_chunks(1000 * 3, 128) in (1, 3)
