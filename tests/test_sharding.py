@@ -554,3 +554,39 @@ def test_sharded_packed_chain_block4_end_to_end_dispatch(mesh8, images, monkeypa
     assert float(np.mean(diff)) < 1e-5, f"mean drift {np.mean(diff):.2e}"
     assert (diff > 5e-4).mean() < 1e-2, f"outlier fraction {(diff > 5e-4).mean():.2e}"
     assert float(diff.max()) < 0.01, f"max drift {diff.max():.2e}"
+
+
+def test_sharded_pair_w_chunked_matches_unsharded(mesh8, monkeypatch):
+    """shard_map + W-chunked tap sums compose: with the chunk count forced
+    to 2 (the 4096px-scale regime), the sharded pair must still match the
+    unsharded pair — and the unsharded chunked pair is bit-identical to
+    its unchunked self, so this pins the whole composition."""
+    import jax.numpy as jnp
+
+    from style_transfer_tpu.ops.pallas import conv_pair as CP
+
+    monkeypatch.setattr(CP, "_w_chunks", lambda w, c: 2)
+    r = np.random.RandomState(7)
+    cin = cmid = 64
+    k1 = jnp.asarray(r.randn(3, 3, cin, cmid).astype(np.float32) * 0.06)
+    b1 = jnp.asarray(r.randn(cmid).astype(np.float32) * 0.1)
+    k2 = jnp.asarray(r.randn(3, 3, cmid, cmid).astype(np.float32) * 0.06)
+    b2 = jnp.asarray(r.randn(cmid).astype(np.float32) * 0.1)
+    ref_pair = CP.make_conv_pair(pool=True, gram=True)
+    sh_pair = CP.make_sharded_pair(
+        mesh8, mesh_mod.SPATIAL_AXIS, pool=True, gram=True
+    )
+
+    def loss(f, x):
+        p, g = f(x, k1, b1, k2, b2)
+        return jnp.sum(p.astype(jnp.float32) ** 2) + 10.0 * jnp.sum(g**2)
+
+    x = jnp.asarray(r.rand(1, 32, 16, cin).astype(np.float32))
+    xs = mesh_mod.shard_image(x, mesh8)
+    v1, d1 = jax.jit(jax.value_and_grad(lambda x: loss(ref_pair, x)))(x)
+    v2, d2 = jax.jit(jax.value_and_grad(lambda x: loss(sh_pair, x)))(xs)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-5)
+    scale = float(np.abs(np.asarray(d1)).max())
+    np.testing.assert_allclose(
+        np.asarray(d2), np.asarray(d1), atol=3e-5 * max(scale, 1.0)
+    )
