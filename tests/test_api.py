@@ -633,3 +633,27 @@ def test_full_chain_under_remat_is_exact(st, images):
     out_remat = st.stylize(content, style, _small_cfg(remat=True, **cfg_kw))
     out_plain = st.stylize(content, style, _small_cfg(remat=False, **cfg_kw))
     np.testing.assert_array_equal(out_remat, out_plain)
+
+
+def test_full_chain_w_chunked_is_exact(st, images, monkeypatch):
+    """The 4096px-scale regime (W-chunked fp32 tap sums, auto-engaged above
+    effective width 2048) composed through the api dispatch and remat:
+    forcing the chunk count to 2 at a small size must reproduce the
+    unchunked output bit-for-bit."""
+    from style_transfer_tpu.ops.pallas import block1_packed as B1P
+    from style_transfer_tpu.ops.pallas import conv_pair as CP
+
+    content, style = images
+    cfg_kw = dict(
+        size=(64, 48), min_scale=64,
+        iterations=(3,),
+        content_layers=("conv4_2",),
+        style_layers=("conv1_1", "conv2_1", "conv3_1", "conv4_1", "conv5_1"),
+        packed_block1=True, packed_block2=True, packed_block3=True,
+        packed_block4=True, use_fused=True,
+    )
+    out_plain = st.stylize(content, style, _small_cfg(remat=True, **cfg_kw))
+    monkeypatch.setattr(B1P, "_w_chunks", lambda w, c: 2)
+    monkeypatch.setattr(CP, "_w_chunks", lambda w, c: 2)
+    out_chunked = st.stylize(content, style, _small_cfg(remat=True, **cfg_kw))
+    np.testing.assert_array_equal(out_chunked, out_plain)
