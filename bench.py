@@ -230,36 +230,40 @@ def main(argv=None) -> int:
             stop_patience=2,
             **cfg_kw,
         )
-        try:
-            wall_4k, scales_4k = timed_run(cfg_4k, "4096px multi-scale (single run)")
-        except Exception as e:
-            # The 4K step runs within ~1 GB of the v5e's HBM; a co-tenant
-            # burst on a shared chip can push it over, and the 4096px scale
-            # is the widest shape the Pallas chain compiles for. Retry once
-            # on the XLA conv path (kernels off) before giving up, and
-            # record honestly which configuration produced the number.
-            log(f"4096px run failed: {type(e).__name__}: {e}")
-            extra["error_4096_fused"] = f"{type(e).__name__}: {e}"[:200]
+        # The 4K step runs within ~1 GB of the v5e's HBM and the 4096px
+        # scale is the widest shape the Pallas chain compiles for. A
+        # transient co-tenant burst and a real fused-path failure need
+        # different answers: retry the SAME fused config once (transient
+        # pressure clears), and only then fall back to the XLA conv path —
+        # recording honestly which configuration produced the number so
+        # cross-run trend readers are not comparing different programs.
+        attempts = [
+            (cfg_4k, "4096px multi-scale (single run)", None),
+            (cfg_4k, "4096px multi-scale (same-config retry)", None),
+            (
+                dataclasses.replace(cfg_4k, packed_block1=False),
+                "4096px multi-scale (XLA-path fallback)",
+                "xla",
+            ),
+        ]
+        for run_cfg, label, fallback in attempts:
             try:
-                cfg_4k_xla = dataclasses.replace(cfg_4k, packed_block1=False)
-                wall_4k, scales_4k = timed_run(
-                    cfg_4k_xla, "4096px multi-scale (XLA-path retry)"
+                wall_4k, scales_4k = timed_run(run_cfg, label)
+            except Exception as e:
+                log(f"{label} failed: {type(e).__name__}: {e}")
+                extra.setdefault("errors_4096", []).append(
+                    f"{label}: {type(e).__name__}: {e}"[:200]
                 )
-            except Exception as e2:
-                log(f"4096px XLA-path retry failed: {type(e2).__name__}: {e2}")
                 extra["wallclock_4096px_multiscale"] = None
-                extra["error_4096"] = f"{type(e2).__name__}: {e2}"[:200]
             else:
                 extra["wallclock_4096px_multiscale"] = round(wall_4k, 2)
                 extra["per_scale_seconds_4096"] = {
                     k: round(v, 2) for k, v in scales_4k.items()
                 }
                 extra["iterations_4096"] = list(cfg_4k.iterations)
-                extra["fallback_4096"] = "xla"
-        else:
-            extra["wallclock_4096px_multiscale"] = round(wall_4k, 2)
-            extra["per_scale_seconds_4096"] = {k: round(v, 2) for k, v in scales_4k.items()}
-            extra["iterations_4096"] = list(cfg_4k.iterations)
+                if fallback:
+                    extra["fallback_4096"] = fallback
+                break
 
     print(json.dumps({
         "metric": f"wallclock_{args.size}px_multiscale",

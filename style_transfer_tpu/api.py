@@ -525,12 +525,21 @@ class StyleTransfer:
             # their fp32 tap sums in W-chunks (ops/pallas/block1_packed.py
             # ``_w_chunks``) — without chunking the block-2 forward exceeded
             # the 16 MB scoped-VMEM limit by 2.5 MB at the minimum 2-row
-            # tile. Wider-than-4096 scales keep the XLA path (unvalidated).
+            # tile. Each block gates on ``fits_scoped_vmem`` for ITS OWN
+            # width: a width whose chunks cannot split sublane-tileable
+            # (e.g. 4094: half-width 2047 has no clean factor) stays on the
+            # XLA path instead of compiling an overflowing kernel.
+            # Wider-than-4096 scales keep the XLA path (unvalidated).
+            from style_transfer_tpu.ops.pallas.block1_packed import (
+                fits_scoped_vmem as _fits,
+            )
+
             if (
                 packed_b1
                 and image.shape[1] % 2 == 0
                 and image.shape[2] % 2 == 0
                 and image.shape[2] <= 4096
+                and _fits(image.shape[2] // 2, 128)
                 and (
                     self.mesh is None
                     # mesh shards must be clean, even, and >= the 4-row halo
@@ -587,6 +596,7 @@ class StyleTransfer:
                     packed_b2
                     and pool1.shape[1] % 2 == 0
                     and pool1.shape[2] % 2 == 0
+                    and _fits(pool1.shape[2], 128)
                     and _mesh_rows_ok(pool1)
                 ):
                     q1, q2 = params["conv2_1"], params["conv2_2"]
@@ -602,6 +612,7 @@ class StyleTransfer:
                         packed_b3
                         and pool2.shape[1] % 2 == 0
                         and pool2.shape[2] % 2 == 0
+                        and _fits(pool2.shape[2], 256)
                         and _mesh_rows_ok(pool2)
                     ):
                         w31, w32 = params["conv3_1"], params["conv3_2"]
@@ -632,13 +643,15 @@ class StyleTransfer:
                         # unrequested and pool-even extents. Explicit
                         # packed_block4=True still forces the front pair.
                         b4_tail = {"conv4_3", "conv4_4", "pool4"}
+                        b4_fits = _fits(pool3.shape[2], 512)
                         b4_tail_ok = (
                             not (b4_tail & set(all_layers))
                             and pool3.shape[1] % 2 == 0
                             and pool3.shape[2] % 2 == 0
+                            and b4_fits
                             and _mesh_rows_ok(pool3)
                         )
-                        if packed_b4 and _mesh_rows_ok(pool3) and (
+                        if packed_b4 and b4_fits and _mesh_rows_ok(pool3) and (
                             b4_tail_ok or cfg.packed_block4 is True
                         ):
                             w41, w42 = params["conv4_1"], params["conv4_2"]

@@ -202,10 +202,20 @@ def _w_chunks(w: int, c: int) -> int:
     is second-minor); a width that cannot split evenly keeps one chunk —
     callers gate on the compile-validated width instead."""
     eff = w * c // 64
-    n = max(1, eff // 2048)
+    n = max(1, -(-eff // 2048))  # ceil: eff 2049..4096 needs 2 chunks
     while n > 1 and (w % n or (w // n) % 8):
         n -= 1
     return n
+
+
+def fits_scoped_vmem(w: int, c: int) -> bool:
+    """True when :func:`_w_chunks` lands the per-chunk effective width
+    inside the compile-validated scoped-VMEM budget (<= 2048). False means
+    the width cannot split cleanly (e.g. W=4094: even, but half-width 2047
+    has no sublane-tileable factor) — dispatchers must keep such shapes on
+    the XLA path rather than compile an overflowing kernel."""
+    eff = w * c // 64
+    return eff // _w_chunks(w, c) <= 2048
 
 
 def _taps_w(xh, k_ref, *, flip: bool, contract_out: bool, nchunks: int, post):
@@ -224,6 +234,9 @@ def _taps_w(xh, k_ref, *, flip: bool, contract_out: bool, nchunks: int, post):
     exactly the unchunked computation."""
     rows = xh.shape[0] - 2
     w = xh.shape[1]
+    if w % nchunks:
+        # a partial last chunk would silently leave ref columns unwritten
+        raise ValueError(f"W={w} does not split into {nchunks} chunks")
     zcol = jnp.zeros((xh.shape[0], 1, xh.shape[2]), xh.dtype)
     xw = jnp.concatenate([zcol, xh, zcol], axis=1)  # (rows+2, W+2, C)
     cw = w // nchunks

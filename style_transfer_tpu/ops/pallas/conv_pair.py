@@ -260,6 +260,10 @@ def _fwd(x2d, k1, b1, k2, b2, true_h, pool, gram, off=None, gram_rows=None,
     cmid = k1.shape[3]
     tile = _tile_for(w, cmid)
     nchunks = _w_chunks(w, cmid) if w_chunks is None else w_chunks
+    if pool and nchunks > 1 and (w // nchunks) % 2:
+        raise ValueError(
+            f"pooling needs even W-chunks: W={w} / {nchunks} chunks is odd"
+        )
     dt = x2d.dtype
     gram_lo, gram_hi = gram_rows if gram_rows is not None else (0, 1 << 30)
     off_arr = jnp.reshape(jnp.asarray(0 if off is None else off, jnp.int32), (1,))

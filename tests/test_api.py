@@ -635,25 +635,50 @@ def test_full_chain_under_remat_is_exact(st, images):
     np.testing.assert_array_equal(out_remat, out_plain)
 
 
-def test_full_chain_w_chunked_is_exact(st, images, monkeypatch):
+def test_full_chain_w_chunked_end_to_end(monkeypatch):
     """The 4096px-scale regime (W-chunked fp32 tap sums, auto-engaged above
     effective width 2048) composed through the api dispatch and remat:
-    forcing the chunk count to 2 at a small size must reproduce the
-    unchunked output bit-for-bit."""
+    forcing the chunk count to 2 must reproduce the oracle stylization.
+
+    Two traps this test must dodge (both bitten before): the custom-VJP
+    kernel singletons cache traces by shape, so an earlier UNCHUNKED trace
+    at the same shape would make the monkeypatch invisible — the size here
+    (128px square) is unique in the suite, and a call-counting spy asserts
+    the patch actually engaged; and chunk widths must stay even at every
+    level for the pooling epilogues (128 -> block-4 width 16, chunks of 8).
+    """
     from style_transfer_tpu.ops.pallas import block1_packed as B1P
     from style_transfer_tpu.ops.pallas import conv_pair as CP
 
-    content, style = images
+    r = np.random.RandomState(0)  # seed with ReLU knife-edge margin
+    content = r.rand(128, 128, 3).astype(np.float32)
+    style = r.rand(64, 64, 3).astype(np.float32)
     cfg_kw = dict(
-        size=(64, 48), min_scale=64,
+        size=128, min_scale=128,
         iterations=(3,),
         content_layers=("conv4_2",),
         style_layers=("conv1_1", "conv2_1", "conv3_1", "conv4_1", "conv5_1"),
         packed_block1=True, packed_block2=True, packed_block3=True,
-        packed_block4=True, use_fused=True,
+        packed_block4=True,
+        # low lr: Adam's m/sqrt(v) normalization amplifies accumulation-
+        # order differences near zero-gradient pixels; the kernel-level
+        # tests own bit-exactness, this test owns the dispatch wiring
+        optimizer=OptimizerSpec("adam", learning_rate=0.01),
     )
-    out_plain = st.stylize(content, style, _small_cfg(remat=True, **cfg_kw))
-    monkeypatch.setattr(B1P, "_w_chunks", lambda w, c: 2)
-    monkeypatch.setattr(CP, "_w_chunks", lambda w, c: 2)
-    out_chunked = st.stylize(content, style, _small_cfg(remat=True, **cfg_kw))
-    np.testing.assert_array_equal(out_chunked, out_plain)
+    calls = [0]
+
+    def forced_chunks(w, c):
+        calls[0] += 1
+        return 2
+
+    monkeypatch.setattr(B1P, "_w_chunks", forced_chunks)
+    monkeypatch.setattr(CP, "_w_chunks", forced_chunks)
+    st2 = StyleTransfer()
+    out_chunked = st2.stylize(
+        content, style, _small_cfg(remat=True, use_fused=True, **cfg_kw)
+    )
+    assert calls[0] > 0, "forced _w_chunks never consulted — dispatch not chunked"
+    out_oracle = st2.stylize(
+        content, style, _small_cfg(remat=True, use_fused=False, **cfg_kw)
+    )
+    np.testing.assert_allclose(out_chunked, out_oracle, rtol=2e-3, atol=3e-4)

@@ -183,8 +183,11 @@ def test_w_chunked_taps_bit_identical(pool, gram):
 
 
 def test_w_chunks_auto():
-    """Auto chunk count: engages above effective width 2048, keeps chunk
-    widths divisible, degrades to 1 when the width cannot split."""
+    """Auto chunk count: engages above effective width 2048 (CEIL — widths
+    strictly between 2048 and 4096 must chunk too), keeps chunk widths
+    divisible, degrades to 1 when the width cannot split."""
+    from style_transfer_tpu.ops.pallas.block1_packed import fits_scoped_vmem
+
     # compile-validated unchunked regime
     assert CP._w_chunks(1024, 128) == 1   # block 2 at 2048px
     assert CP._w_chunks(512, 256) == 1    # block 3 at 2048px
@@ -192,5 +195,37 @@ def test_w_chunks_auto():
     assert CP._w_chunks(2048, 128) == 2   # block 2
     assert CP._w_chunks(1024, 256) == 2   # block 3
     assert CP._w_chunks(512, 512) == 2    # block 4
-    # indivisible width falls back to one chunk
-    assert CP._w_chunks(1000 * 3, 128) in (1, 3)
+    # UHD (3840): eff 3840 is over budget — ceil division must give 2
+    assert CP._w_chunks(1920, 128) == 2   # block 1/2 at 3840px
+    assert fits_scoped_vmem(1920, 128)
+    # indivisible width cannot chunk -> fits_scoped_vmem says fall back
+    assert CP._w_chunks(2047, 128) == 1   # 4094px: half-width has no factor
+    assert not fits_scoped_vmem(2047, 128)
+    # the api dispatch consumes exactly this predicate
+    assert fits_scoped_vmem(1024, 128)    # 2048px: unchunked and in budget
+
+
+def test_taps_w_rejects_indivisible_chunks():
+    """A partial last chunk would silently leave ref columns unwritten;
+    _taps_w must refuse instead."""
+    from style_transfer_tpu.ops.pallas.block1_packed import _taps_w
+
+    xh = jnp.zeros((4, 6, 64), jnp.float32)
+    k = jnp.zeros((3, 3, 64, 64), jnp.float32)
+    with pytest.raises(ValueError, match="does not split"):
+        _taps_w(xh, k, flip=False, contract_out=False, nchunks=4,
+                post=lambda a, c0, c1: a)
+
+
+def test_pool_pair_rejects_odd_chunk_width():
+    """Pooling pairs W-columns inside each chunk; an odd chunk width must
+    be refused at trace time, not crash in the kernel."""
+    r = np.random.RandomState(3)
+    k1, b1 = _w(r, 64, 64)
+    k2, b2 = _w(r, 64, 64)
+    x = jnp.asarray(r.rand(1, 8, 6, 64).astype(np.float32))
+    pair = CP.make_conv_pair(pool=True, gram=False, w_chunks=3)  # cw = 2 ok
+    pair(x, k1, b1, k2, b2)
+    bad = CP.make_conv_pair(pool=True, gram=False, w_chunks=2)  # cw = 3 odd
+    with pytest.raises(ValueError, match="even W-chunks"):
+        bad(x, k1, b1, k2, b2)
