@@ -79,8 +79,40 @@ def main(argv=None) -> int:
     from style_transfer_tpu.optim import OptimizerSpec
     from style_transfer_tpu.parallel.mesh import make_mesh
 
-    backend = jax.default_backend()
-    n_dev = len(jax.devices())
+    # Backend init on a tunneled TPU dials a remote device pool, which has
+    # been observed to hang indefinitely when the pool is unavailable. A
+    # hung init cannot be cancelled in-process, so time-box it on a side
+    # thread and emit an honest error record instead of wedging the
+    # harness that invoked us.
+    import os
+    import threading
+
+    init_done = threading.Event()
+    init_res = {}
+
+    def _init_backend():
+        try:
+            init_res["backend"] = jax.default_backend()
+            init_res["n_dev"] = len(jax.devices())
+        except Exception as e:  # init failure is a result, not a crash
+            init_res["error"] = f"{type(e).__name__}: {e}"[:300]
+        init_done.set()
+
+    threading.Thread(target=_init_backend, daemon=True).start()
+    if not init_done.wait(timeout=900) or "error" in init_res:
+        err = init_res.get("error", "backend init timed out after 900 s")
+        print(json.dumps({
+            "metric": f"wallclock_{args.size}px_multiscale",
+            "value": None, "unit": "s", "vs_baseline": None,
+            "error": err,
+        }))
+        sys.stdout.flush()
+        log(f"backend init failed: {err}")
+        # a hung init thread cannot be joined; exit hard
+        os._exit(3)
+
+    backend = init_res["backend"]
+    n_dev = init_res["n_dev"]
     mesh = make_mesh() if n_dev > 1 else None
     log(f"backend={backend} devices={n_dev} mesh={'1d' if mesh else 'none'}")
 
