@@ -1,0 +1,215 @@
+"""On-hardware validation harness for the Pallas kernel tier.
+
+For each fused kernel (packed block 1, block 2, the block-3/4 conv pairs,
+the conv5_1 conv+Gram) at each requested image size, this: compiles the
+kernel at that size's natural block shape (catching scoped-VMEM overflows
+and Mosaic lowering failures), checks values AND input gradients against
+the XLA oracle composition, and times kernel vs oracle subgraphs.
+
+Usage (TPU):   python scripts/validate_kernels.py --sizes 1024 4096
+Smoke (CPU):   python scripts/validate_kernels.py --sizes 64 --repeats 1
+               (kernels run in Pallas interpret mode off-TPU)
+
+Prints one human table to stderr and one JSON line per (kernel, size) to
+stdout. Exit code 0 iff every requested case passed.
+
+The reference has no analogue — its kernels are external Caffe/cuDNN
+(SURVEY.md section 2 row 15, reconstructed); this harness is how the
+replacement tier's per-size compile envelope is validated on real
+hardware (ARCHITECTURE.md "W-chunked tap sums").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--sizes", type=int, nargs="+", default=[1024],
+                   help="image long sides; each kernel runs at its natural "
+                        "block shape for that size")
+    p.add_argument("--blocks", nargs="+",
+                   default=["b1", "b2", "b3", "b4", "cg"],
+                   choices=["b1", "b2", "b3", "b4", "cg"])
+    p.add_argument("--repeats", type=int, default=20,
+                   help="timing repeats (compile + correctness always run)")
+    p.add_argument("--rtol", type=float, default=2e-2,
+                   help="bf16 grad tolerance vs the fp32-accumulating oracle")
+    args = p.parse_args(argv)
+
+    import os
+
+    import jax
+
+    # The launch environment's sitecustomize force-registers the tunneled
+    # TPU platform and overrides the JAX_PLATFORMS env var; honor an
+    # explicit cpu request the same way cli.py does (config wins).
+    if os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from style_transfer_tpu.models import vgg as V
+    from style_transfer_tpu.ops import losses as L
+    from style_transfer_tpu.ops.pallas import block1_packed as B1P
+    from style_transfer_tpu.ops.pallas import block2 as B2
+    from style_transfer_tpu.ops.pallas import conv_gram as CG
+    from style_transfer_tpu.ops.pallas import conv_pair as CP
+
+    on_tpu = jax.default_backend() == "tpu"
+    dt = jnp.bfloat16 if on_tpu else jnp.float32
+    r = np.random.RandomState(0)
+    log(f"backend={jax.default_backend()} dtype={dt.__name__}")
+
+    def w(cin, cout, scale=0.05):
+        return (
+            jnp.asarray(r.randn(3, 3, cin, cout).astype(np.float32) * scale).astype(dt),
+            jnp.asarray(r.randn(cout).astype(np.float32) * 0.1).astype(dt),
+        )
+
+    def sync(x):
+        return np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0])
+
+    def bench(f, x, n):
+        o = f(x)
+        sync(o)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            o = f(x)
+        sync(o)
+        return (time.perf_counter() - t0) / n * 1e3
+
+    def scalar_loss(out):
+        if isinstance(out, tuple):
+            y, g = out
+            return jnp.sum(y.astype(jnp.float32) ** 2) + 100.0 * jnp.sum(g ** 2)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def case(name, size, kfn, xfn, x):
+        rec = {"kernel": name, "size": size, "shape": list(x.shape)}
+        gk = jax.jit(jax.value_and_grad(lambda x: scalar_loss(kfn(x))))
+        gx = jax.jit(jax.value_and_grad(lambda x: scalar_loss(xfn(x))))
+        try:
+            t0 = time.perf_counter()
+            vk, dk = gk(x)
+            sync(vk)
+            rec["compile_s"] = round(time.perf_counter() - t0, 1)
+        except Exception as e:
+            rec["ok"] = False
+            rec["error"] = f"{type(e).__name__}: {e}"[:300]
+            log(f"  {name}@{size}: KERNEL FAILED — {rec['error'][:120]}")
+            print(json.dumps(rec), flush=True)
+            return False
+        vx, dx = gx(x)
+        dkn = np.asarray(dk, np.float32)
+        dxn = np.asarray(dx, np.float32)
+        rel_v = abs(float(vk) - float(vx)) / max(1.0, abs(float(vx)))
+        rel_g = float(np.abs(dkn - dxn).max() / max(1e-6, np.abs(dxn).max()))
+        rec["value_rel"] = float(f"{rel_v:.3g}")
+        rec["grad_relmax"] = float(f"{rel_g:.3g}")
+        rec["ok"] = bool(rel_v < args.rtol and rel_g < args.rtol)
+        if args.repeats:
+            rec["kernel_ms"] = round(bench(gk, x, args.repeats), 3)
+            rec["xla_ms"] = round(bench(gx, x, args.repeats), 3)
+            rec["speedup"] = round(rec["xla_ms"] / rec["kernel_ms"], 2)
+        log(f"  {name}@{size}: ok={rec['ok']} value_rel={rel_v:.2e} "
+            f"grad_relmax={rel_g:.2e} "
+            + (f"kernel {rec['kernel_ms']} ms vs XLA {rec['xla_ms']} ms "
+               f"({rec['speedup']}x)" if args.repeats else ""))
+        print(json.dumps(rec), flush=True)
+        return rec["ok"]
+
+    all_ok = True
+    for size in args.sizes:
+        if size % 16:
+            log(f"size {size}: skipping (needs %16 for the block-4 shapes)")
+            continue
+        log(f"== image size {size} ==")
+        if "b1" in args.blocks:
+            k1, b1 = w(3, 64, 0.2)
+            k2, b2 = w(64, 64, 0.1)
+            x = jnp.asarray(r.randn(1, size, size, 3).astype(np.float32) * 0.3).astype(dt)
+
+            def xla_b1(x, k1=k1, b1=b1, k2=k2, b2=b2):
+                y1 = jax.nn.relu(V._conv(x, k1, b1))
+                return (V._pool(jax.nn.relu(V._conv(y1, k2, b2)), "average", None),
+                        L.gram_matrix(y1))
+
+            all_ok &= case("block1_packed", size,
+                           lambda x: B1P.block1_packed(x, k1, b1, k2, b2),
+                           xla_b1, x)
+            del x
+        if "b2" in args.blocks:
+            k1, b1 = w(64, 128)
+            k2, b2 = w(128, 128)
+            s = size // 2
+            x = jnp.asarray(r.randn(1, s, s, 64).astype(np.float32) * 0.3).astype(dt)
+
+            def xla_b2(x, k1=k1, b1=b1, k2=k2, b2=b2):
+                y1 = jax.nn.relu(V._conv(x, k1, b1))
+                return (V._pool(jax.nn.relu(V._conv(y1, k2, b2)), "average", None),
+                        L.gram_matrix(y1))
+
+            all_ok &= case("block2", size,
+                           lambda x: B2.block2_fused(x, k1, b1, k2, b2),
+                           xla_b2, x)
+            del x
+        if "b3" in args.blocks:
+            k1, b1 = w(128, 256)
+            k2, b2 = w(256, 256)
+            s = size // 4
+            x = jnp.asarray(r.randn(1, s, s, 128).astype(np.float32) * 0.3).astype(dt)
+
+            def xla_p(x, k1=k1, b1=b1, k2=k2, b2=b2):
+                y1 = jax.nn.relu(V._conv(x, k1, b1))
+                return jax.nn.relu(V._conv(y1, k2, b2)), L.gram_matrix(y1)
+
+            all_ok &= case("pair_gram(b3)", size,
+                           lambda x: CP.pair_gram(x, k1, b1, k2, b2),
+                           xla_p, x)
+            del x
+        if "b4" in args.blocks:
+            k1, b1 = w(512, 512, 0.02)
+            k2, b2 = w(512, 512, 0.02)
+            s = size // 8
+            x = jnp.asarray(r.randn(1, s, s, 512).astype(np.float32) * 0.3).astype(dt)
+
+            def xla_pp(x, k1=k1, b1=b1, k2=k2, b2=b2):
+                y1 = jax.nn.relu(V._conv(x, k1, b1))
+                return V._pool(jax.nn.relu(V._conv(y1, k2, b2)), "average", None)
+
+            all_ok &= case("pair_pool(b4)", size,
+                           lambda x: CP.pair_pool(x, k1, b1, k2, b2),
+                           xla_pp, x)
+            del x
+        if "cg" in args.blocks:
+            k1, b1 = w(512, 512, 0.02)
+            s = size // 16
+            x = jnp.asarray(r.randn(1, s, s, 512).astype(np.float32) * 0.3).astype(dt)
+
+            def xla_cg(x, k1=k1, b1=b1):
+                return (jnp.zeros((0,)),  # no activation output
+                        L.gram_matrix(jax.nn.relu(V._conv(x, k1, b1))))
+
+            all_ok &= case("conv_gram(5_1)", size,
+                           lambda x: (jnp.zeros((0,)), CG.conv_gram(x, k1, b1)),
+                           xla_cg, x)
+            del x
+
+    log("ALL OK" if all_ok else "FAILURES — see JSON records above")
+    return 0 if all_ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
