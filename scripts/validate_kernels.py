@@ -39,8 +39,11 @@ def main(argv=None) -> int:
                    help="image long sides; each kernel runs at its natural "
                         "block shape for that size")
     p.add_argument("--blocks", nargs="+",
-                   default=["b1", "b2", "b3", "b4", "cg"],
-                   choices=["b1", "b2", "b3", "b4", "cg"])
+                   default=["b1", "b2", "b3", "b4", "cg", "s2", "s3", "s4"],
+                   choices=["b1", "b2", "b3", "b4", "cg", "s2", "s3", "s4"])
+    p.add_argument("--force-gated", action="store_true",
+                   help="compile even the cases the vmem gate excludes "
+                        "(expected to fail; probes the envelope edge)")
     p.add_argument("--repeats", type=int, default=20,
                    help="timing repeats (compile + correctness always run)")
     p.add_argument("--rtol", type=float, default=2e-2,
@@ -66,6 +69,8 @@ def main(argv=None) -> int:
     from style_transfer_tpu.ops.pallas import block2 as B2
     from style_transfer_tpu.ops.pallas import conv_gram as CG
     from style_transfer_tpu.ops.pallas import conv_pair as CP
+    from style_transfer_tpu.ops.pallas import conv_single as CS
+    from style_transfer_tpu.ops.pallas import vmem as VM
 
     on_tpu = jax.default_backend() == "tpu"
     dt = jnp.bfloat16 if on_tpu else jnp.float32
@@ -96,8 +101,21 @@ def main(argv=None) -> int:
             return jnp.sum(y.astype(jnp.float32) ** 2) + 100.0 * jnp.sum(g ** 2)
         return jnp.sum(out.astype(jnp.float32) ** 2)
 
-    def case(name, size, kfn, xfn, x):
-        rec = {"kernel": name, "size": size, "shape": list(x.shape)}
+    import re as _re
+
+    def case(name, size, kfn, xfn, x, fits=True):
+        """``fits`` is the vmem gate's verdict for this (kernel, shape):
+        gated-off cases are skipped (the api dispatch never compiles
+        them) unless --force-gated, where a compile FAILURE confirms the
+        gate and counts as ok."""
+        rec = {"kernel": name, "size": size, "shape": list(x.shape),
+               "gate_fits": bool(fits)}
+        if not fits and not args.force_gated:
+            rec["ok"] = True
+            rec["skipped"] = "vmem-gated: dispatch keeps this shape off this kernel"
+            log(f"  {name}@{size}: GATED OFF (vmem) — skipped")
+            print(json.dumps(rec), flush=True)
+            return True
         gk = jax.jit(jax.value_and_grad(lambda x: scalar_loss(kfn(x))))
         gx = jax.jit(jax.value_and_grad(lambda x: scalar_loss(xfn(x))))
         try:
@@ -106,11 +124,21 @@ def main(argv=None) -> int:
             sync(vk)
             rec["compile_s"] = round(time.perf_counter() - t0, 1)
         except Exception as e:
-            rec["ok"] = False
-            rec["error"] = f"{type(e).__name__}: {e}"[:300]
-            log(f"  {name}@{size}: KERNEL FAILED — {rec['error'][:120]}")
+            msg = _re.sub(r"\x1b\[[0-9;]*m", "", f"{type(e).__name__}: {e}")
+            m = _re.search(r"[Ss]coped allocation with size [\d.]+[MK].{0,80}", msg)
+            rec["error"] = (m.group(0) if m else msg)[:300]
+            rec["error_kind"] = (
+                "scoped_vmem_overflow" if m else "compile_or_runtime_error"
+            )
+            # a gated-off shape failing to compile CONFIRMS the gate
+            rec["ok"] = not fits
+            log(f"  {name}@{size}: "
+                + ("gate confirmed (expected fail)" if rec["ok"] else "KERNEL FAILED")
+                + f" — {rec['error'][:120]}")
             print(json.dumps(rec), flush=True)
-            return False
+            return rec["ok"]
+        if not fits:
+            rec["gate_conservative"] = True  # compiled although gated off
         vx, dx = gx(x)
         dkn = np.asarray(dk, np.float32)
         dxn = np.asarray(dx, np.float32)
@@ -148,7 +176,7 @@ def main(argv=None) -> int:
 
             all_ok &= case("block1_packed", size,
                            lambda x: B1P.block1_packed(x, k1, b1, k2, b2),
-                           xla_b1, x)
+                           xla_b1, x, fits=VM.block1_fits(size))
             del x
         if "b2" in args.blocks:
             k1, b1 = w(64, 128)
@@ -163,7 +191,27 @@ def main(argv=None) -> int:
 
             all_ok &= case("block2", size,
                            lambda x: B2.block2_fused(x, k1, b1, k2, b2),
-                           xla_b2, x)
+                           xla_b2, x,
+                           fits=VM.pair_fits(s, 64, 128, pool=True, gram=True))
+            del x
+        if "s2" in args.blocks:
+            k1, b1 = w(64, 128)
+            k2, b2 = w(128, 128)
+            s = size // 2
+            x = jnp.asarray(r.randn(1, s, s, 64).astype(np.float32) * 0.3).astype(dt)
+
+            def xla_s2(x, k1=k1, b1=b1, k2=k2, b2=b2):
+                y1 = jax.nn.relu(V._conv(x, k1, b1))
+                return (V._pool(jax.nn.relu(V._conv(y1, k2, b2)), "average", None),
+                        L.gram_matrix(y1))
+
+            s2_fn = CS.make_pair_of_singles(pool=True, gram=True)
+            all_ok &= case(
+                "singles(b2)", size, lambda x: s2_fn(x, k1, b1, k2, b2),
+                xla_s2, x,
+                fits=VM.single_fits(s, 64, 128, pool=False, gram=True)
+                and VM.single_fits(s, 128, 128, pool=True, gram=False),
+            )
             del x
         if "b3" in args.blocks:
             k1, b1 = w(128, 256)
@@ -177,7 +225,26 @@ def main(argv=None) -> int:
 
             all_ok &= case("pair_gram(b3)", size,
                            lambda x: CP.pair_gram(x, k1, b1, k2, b2),
-                           xla_p, x)
+                           xla_p, x,
+                           fits=VM.pair_fits(s, 128, 256, pool=False, gram=True))
+            del x
+        if "s3" in args.blocks:
+            k1, b1 = w(128, 256)
+            k2, b2 = w(256, 256)
+            s = size // 4
+            x = jnp.asarray(r.randn(1, s, s, 128).astype(np.float32) * 0.3).astype(dt)
+
+            def xla_s3(x, k1=k1, b1=b1, k2=k2, b2=b2):
+                y1 = jax.nn.relu(V._conv(x, k1, b1))
+                return jax.nn.relu(V._conv(y1, k2, b2)), L.gram_matrix(y1)
+
+            s3_fn = CS.make_pair_of_singles(pool=False, gram=True)
+            all_ok &= case(
+                "singles(b3f)", size, lambda x: s3_fn(x, k1, b1, k2, b2),
+                xla_s3, x,
+                fits=VM.single_fits(s, 128, 256, pool=False, gram=True)
+                and VM.single_fits(s, 256, 256, pool=False, gram=False),
+            )
             del x
         if "b4" in args.blocks:
             k1, b1 = w(512, 512, 0.02)
@@ -191,7 +258,26 @@ def main(argv=None) -> int:
 
             all_ok &= case("pair_pool(b4)", size,
                            lambda x: CP.pair_pool(x, k1, b1, k2, b2),
-                           xla_pp, x)
+                           xla_pp, x,
+                           fits=VM.pair_fits(s, 512, 512, pool=True, gram=False))
+            del x
+        if "s4" in args.blocks:
+            k1, b1 = w(512, 512, 0.02)
+            k2, b2 = w(512, 512, 0.02)
+            s = size // 8
+            x = jnp.asarray(r.randn(1, s, s, 512).astype(np.float32) * 0.3).astype(dt)
+
+            def xla_s4(x, k1=k1, b1=b1, k2=k2, b2=b2):
+                y1 = jax.nn.relu(V._conv(x, k1, b1))
+                return V._pool(jax.nn.relu(V._conv(y1, k2, b2)), "average", None)
+
+            s4_fn = CS.make_pair_of_singles(pool=True, gram=False)
+            all_ok &= case(
+                "singles(b4t)", size, lambda x: s4_fn(x, k1, b1, k2, b2),
+                xla_s4, x,
+                fits=VM.single_fits(s, 512, 512, pool=False, gram=False)
+                and VM.single_fits(s, 512, 512, pool=True, gram=False),
+            )
             del x
         if "cg" in args.blocks:
             k1, b1 = w(512, 512, 0.02)
@@ -204,7 +290,7 @@ def main(argv=None) -> int:
 
             all_ok &= case("conv_gram(5_1)", size,
                            lambda x: (jnp.zeros((0,)), CG.conv_gram(x, k1, b1)),
-                           xla_cg, x)
+                           xla_cg, x, fits=VM.conv_gram_fits(s, 512))
             del x
 
     log("ALL OK" if all_ok else "FAILURES — see JSON records above")

@@ -520,26 +520,29 @@ class StyleTransfer:
             # instead of living across the whole step — only the small
             # inter-block pool boundaries persist, the same storage shape
             # the XLA blockwise-remat path has.
-            # W gate: widths up to 4096 (the 4K scale) are compile-validated
-            # on hardware. Above effective width 2048 the kernels compute
-            # their fp32 tap sums in W-chunks (ops/pallas/block1_packed.py
-            # ``_w_chunks``) — without chunking the block-2 forward exceeded
-            # the 16 MB scoped-VMEM limit by 2.5 MB at the minimum 2-row
-            # tile. Each block gates on ``fits_scoped_vmem`` for ITS OWN
-            # width: a width whose chunks cannot split sublane-tileable
-            # (e.g. 4094: half-width 2047 has no clean factor) stays on the
-            # XLA path instead of compiling an overflowing kernel.
-            # Wider-than-4096 scales keep the XLA path (unvalidated).
-            from style_transfer_tpu.ops.pallas.block1_packed import (
-                fits_scoped_vmem as _fits,
-            )
+            # Scoped-VMEM gates: each kernel dispatches only inside its
+            # HARDWARE-validated compile envelope (ops/pallas/vmem.py, with
+            # the measured per-shape table). The two-conv kernels (packed
+            # block 1, the pairs) are validated both ways up to effective
+            # width w*c/64 = 2048; at the 4096px scale's eff-4096 shapes
+            # their bodies exceed the 16 MB scoped budget in at least one
+            # direction, so there each two-conv segment is decomposed into
+            # two single-conv kernels (ops/pallas/conv_single.py, ~half the
+            # body) and block 1 — which has no singles form — runs on XLA
+            # with the chain starting at block 2.
+            from style_transfer_tpu.ops.pallas import vmem as VM
 
             if (
                 packed_b1
                 and image.shape[1] % 2 == 0
                 and image.shape[2] % 2 == 0
-                and image.shape[2] <= 4096
-                and _fits(image.shape[2] // 2, 128)
+                and (
+                    VM.block1_fits(image.shape[2])
+                    or VM.segment_impl(
+                        image.shape[2] // 2, 64, 128, pool=True, gram=True
+                    )
+                    is not None
+                )
                 and (
                     self.mesh is None
                     # mesh shards must be clean, even, and >= the 4-row halo
@@ -549,27 +552,57 @@ class StyleTransfer:
                     )
                 )
             ):
-                from style_transfer_tpu.ops.pallas import block1_packed as B1P
-
-                b1_fn = (
-                    B1P.block1_packed
-                    if self.mesh is None
-                    else B1P.make_sharded_block1(self.mesh, mesh_mod.SPATIAL_AXIS)
-                )
                 ckpt = jax.checkpoint if use_remat else (lambda f: f)
                 x = imgio.preprocess(image, self.mean, self.std)
                 if self.compute_dtype is not None:
                     x = x.astype(self.compute_dtype)
-                p1, p2 = params["conv1_1"], params["conv1_2"]
-                pool1, g1 = ckpt(b1_fn)(
-                    x, p1["kernel"], p1["bias"], p2["kernel"], p2["bias"]
-                )
-                gram_overrides = {"conv1_1": g1} if "conv1_1" in s_weights else {}
+                gram_overrides = {}
+                if VM.block1_fits(image.shape[2]):
+                    from style_transfer_tpu.ops.pallas import block1_packed as B1P
+
+                    b1_fn = (
+                        B1P.block1_packed
+                        if self.mesh is None
+                        else B1P.make_sharded_block1(self.mesh, mesh_mod.SPATIAL_AXIS)
+                    )
+                    p1, p2 = params["conv1_1"], params["conv1_2"]
+                    pool1, g1 = ckpt(b1_fn)(
+                        x, p1["kernel"], p1["bias"], p2["kernel"], p2["bias"]
+                    )
+                    if "conv1_1" in s_weights:
+                        gram_overrides["conv1_1"] = g1
+                else:
+                    # Beyond the packed kernel's validated envelope (the
+                    # one-pass backward measured 17.79M scoped VMEM at the
+                    # 4096px scale): block 1 runs on the XLA path and the
+                    # Pallas chain starts at block 2 over its pool output.
+                    # L.gram_matrix (not the Pallas gram) because conv1_1
+                    # may be H-sharded here and the jnp einsum partitions
+                    # cleanly under GSPMD.
+                    want1 = (
+                        ("conv1_1", "pool1")
+                        if "conv1_1" in s_weights
+                        else ("pool1",)
+                    )
+                    f1 = vgg_mod.extract_features(
+                        params,
+                        x,
+                        want1,
+                        pooling=self.pooling,
+                        compute_dtype=None,
+                        shard_divisor=n_dev if self.mesh is not None else None,
+                        arch=self.arch,
+                        remat=use_remat,
+                    )
+                    pool1 = f1["pool1"]
+                    if "conv1_1" in s_weights:
+                        gram_overrides["conv1_1"] = L.gram_matrix(f1["conv1_1"])
                 covered = {"conv1_1"}
                 start_block, handoff, start_conv = 2, pool1, 0
 
                 from style_transfer_tpu.ops.pallas import block2 as B2F
                 from style_transfer_tpu.ops.pallas import conv_pair as CP
+                from style_transfer_tpu.ops.pallas import conv_single as CSG
 
                 def _mesh_rows_ok(t):
                     # mesh shards must be clean, even, and >= the 4-row halo
@@ -578,27 +611,38 @@ class StyleTransfer:
                         and t.shape[1] // n_dev >= 4
                     )
 
-                if self.mesh is None:
-                    b2_fn, p_gram, p_pool = (
-                        B2F.block2_fused, CP.pair_gram, CP.pair_pool
-                    )
-                else:
-                    sharded_pair = partial(
-                        CP.make_sharded_pair, self.mesh, mesh_mod.SPATIAL_AXIS
-                    )
-                    b2_fn = sharded_pair(pool=True, gram=True)
-                    p_gram = sharded_pair(pool=False, gram=True)
-                    p_pool = sharded_pair(pool=True, gram=False)
+                def _seg_fn(impl, *, pool, gram, block2=False):
+                    """Kernel callable for one two-conv segment, per the
+                    vmem-gated implementation choice: the fused pair
+                    inside its validated envelope, the singles
+                    decomposition beyond it."""
+                    if impl == "singles":
+                        return CSG.make_pair_of_singles(
+                            pool=pool, gram=gram, mesh=self.mesh,
+                            axis=mesh_mod.SPATIAL_AXIS,
+                        )
+                    if self.mesh is not None:
+                        return CP.make_sharded_pair(
+                            self.mesh, mesh_mod.SPATIAL_AXIS,
+                            pool=pool, gram=gram,
+                        )
+                    if block2:
+                        return B2F.block2_fused
+                    return CP.pair_gram if gram else CP.pair_pool
 
                 # chain the fused block-2 kernel off block 1's pool output
                 # (post-block-1 profile leader; shape gate: even pooled dims)
+                b2_impl = VM.segment_impl(
+                    pool1.shape[2], 64, 128, pool=True, gram=True
+                )
                 if (
                     packed_b2
                     and pool1.shape[1] % 2 == 0
                     and pool1.shape[2] % 2 == 0
-                    and _fits(pool1.shape[2], 128)
+                    and b2_impl is not None
                     and _mesh_rows_ok(pool1)
                 ):
+                    b2_fn = _seg_fn(b2_impl, pool=True, gram=True, block2=True)
                     q1, q2 = params["conv2_1"], params["conv2_2"]
                     pool2, g21 = ckpt(b2_fn)(
                         pool1, q1["kernel"], q1["bias"], q2["kernel"], q2["bias"]
@@ -608,13 +652,22 @@ class StyleTransfer:
                     covered.add("conv2_1")
                     start_block, handoff = 3, pool2
                     # ... and block 3 as two fused conv pairs off pool2
+                    b3f_impl = VM.segment_impl(
+                        pool2.shape[2], 128, 256, pool=False, gram=True
+                    )
+                    b3t_impl = VM.segment_impl(
+                        pool2.shape[2], 256, 256, pool=True, gram=False
+                    )
                     if (
                         packed_b3
                         and pool2.shape[1] % 2 == 0
                         and pool2.shape[2] % 2 == 0
-                        and _fits(pool2.shape[2], 256)
+                        and b3f_impl is not None
+                        and b3t_impl is not None
                         and _mesh_rows_ok(pool2)
                     ):
+                        p_gram = _seg_fn(b3f_impl, pool=False, gram=True)
+                        p_pool = _seg_fn(b3t_impl, pool=True, gram=False)
                         w31, w32 = params["conv3_1"], params["conv3_2"]
                         w33, w34 = params["conv3_3"], params["conv3_4"]
                         y32, g31 = ckpt(p_gram)(
@@ -643,19 +696,25 @@ class StyleTransfer:
                         # unrequested and pool-even extents. Explicit
                         # packed_block4=True still forces the front pair.
                         b4_tail = {"conv4_3", "conv4_4", "pool4"}
-                        b4_fits = _fits(pool3.shape[2], 512)
+                        b4f_impl = VM.segment_impl(
+                            pool3.shape[2], 256, 512, pool=False, gram=True
+                        )
+                        b4t_impl = VM.segment_impl(
+                            pool3.shape[2], 512, 512, pool=True, gram=False
+                        )
                         b4_tail_ok = (
                             not (b4_tail & set(all_layers))
                             and pool3.shape[1] % 2 == 0
                             and pool3.shape[2] % 2 == 0
-                            and b4_fits
+                            and b4t_impl is not None
                             and _mesh_rows_ok(pool3)
                         )
-                        if packed_b4 and b4_fits and _mesh_rows_ok(pool3) and (
+                        if packed_b4 and b4f_impl is not None and _mesh_rows_ok(pool3) and (
                             b4_tail_ok or cfg.packed_block4 is True
                         ):
+                            p4_gram = _seg_fn(b4f_impl, pool=False, gram=True)
                             w41, w42 = params["conv4_1"], params["conv4_2"]
-                            y42, g41 = ckpt(p_gram)(
+                            y42, g41 = ckpt(p4_gram)(
                                 pool3, w41["kernel"], w41["bias"],
                                 w42["kernel"], w42["bias"],
                             )
@@ -665,8 +724,11 @@ class StyleTransfer:
                             start_block, handoff = 4, y42
                             start_conv = 2
                             if b4_tail_ok:
+                                p4_pool = _seg_fn(
+                                    b4t_impl, pool=True, gram=False
+                                )
                                 w43, w44 = params["conv4_3"], params["conv4_4"]
-                                pool4 = ckpt(p_pool)(
+                                pool4 = ckpt(p4_pool)(
                                     y42, w43["kernel"], w43["bias"],
                                     w44["kernel"], w44["bias"],
                                 )
@@ -684,6 +746,7 @@ class StyleTransfer:
                     deeper == ("conv5_1",)
                     and start_block == 5
                     and "conv5_1" not in c_weights
+                    and VM.conv_gram_fits(handoff.shape[2], 512)
                     and (
                         self.mesh is None
                         or (

@@ -208,14 +208,42 @@ def _w_chunks(w: int, c: int) -> int:
     return n
 
 
-def fits_scoped_vmem(w: int, c: int) -> bool:
-    """True when :func:`_w_chunks` lands the per-chunk effective width
-    inside the compile-validated scoped-VMEM budget (<= 2048). False means
-    the width cannot split cleanly (e.g. W=4094: even, but half-width 2047
-    has no sublane-tileable factor) — dispatchers must keep such shapes on
-    the XLA path rather than compile an overflowing kernel."""
+def _w_chunks_bwd(w: int, c: int) -> int:
+    """W-chunk count for the packed block-1 BACKWARD kernel.
+
+    The one-pass backward body holds ~5 full-width row-extended values
+    simultaneously (the unpool broadcast, the gated cotangent, the mask
+    and residual concats, ``dpre1``) on top of the fp32 tap accumulators
+    and the Gram term. At effective width 4096 (the 4096px scale,
+    w2 = 2048) the forward's 2 chunks leave a measured 17.79M scoped-VMEM
+    demand and 4 chunks 16.61M, while 8 chunks (eff 512 per accumulator
+    chunk) compile and run on v5e (ops/pallas/vmem.py table). Chunk-count
+    bit-identity is the tested contract
+    (tests/test_block1_packed.py::test_w_chunked_bit_identical), so
+    escalating only the backward changes nothing numerically. Inside the
+    two-conv validated envelope (eff <= 2048) this stays the forward
+    count."""
     eff = w * c // 64
-    return eff // _w_chunks(w, c) <= 2048
+    if eff <= 2048:
+        return _w_chunks(w, c)
+    n = max(1, -(-eff // 512))
+    while n > 1 and (w % n or (w // n) % 8):
+        n -= 1
+    return n
+
+
+def fits_scoped_vmem(w: int, c: int) -> bool:
+    """DEPRECATED round-3 gate, superseded by ``ops/pallas/vmem.py``.
+
+    It modeled only the fp32 accumulators W-chunking shrinks; round-4
+    hardware probes showed the full-width bf16 body values (which
+    chunking cannot shrink — the 3x3 taps reach across chunk edges) put
+    every two-conv kernel at effective width 4096 over the 16 MB scoped
+    budget in at least one direction, so this returned True for shapes
+    that do not compile. Kept only so old callers fail safe: it now
+    returns the hardware-validated two-conv envelope (eff <= 2048,
+    ``vmem.PAIR_EFF_LIMIT``). Dispatch uses ``vmem.segment_impl``."""
+    return w * c // 64 <= 2048
 
 
 def _taps_w(xh, k_ref, *, flip: bool, contract_out: bool, nchunks: int, post):
@@ -556,7 +584,7 @@ def _bwd(r1p, mask2, k1, k2, d_pool, s, true_h, off=None):
     center = lambda i: (i, 0, 0)
     dx8 = pl.pallas_call(
         functools.partial(_bwd_kernel, true_h=true_h,
-                          nchunks=_w_chunks(w2, 2 * C)),
+                          nchunks=_w_chunks_bwd(w2, 2 * C)),
         grid=(h // tile,),
         in_specs=[
             pl.BlockSpec((tile, w2, 2 * C), center, memory_space=pltpu.VMEM),

@@ -1,0 +1,195 @@
+"""Scoped-VMEM dispatch gates for the Pallas kernel tier.
+
+Mosaic allocates each kernel's body temporaries (the halo concats, the
+fp32 tap accumulators and their per-chunk products, the ReLU/edge-mask
+intermediates) from a 16 MiB "scoped VMEM" stack; a kernel whose body
+peak exceeds it fails to COMPILE ("Scoped allocation with size ... and
+limit 16.00M exceeded"). Round 3 gated dispatch on an activation-width
+heuristic (``w*c/64 <= 2048`` per W-chunk) that modeled only the fp32
+accumulators W-chunking shrinks; the full-width bf16 body values it
+ignored (the row-extended concats ``pe``/``y1e``/``dy2``/``da2``/
+``dpre1``, which chunking CANNOT shrink because the 3x3 taps reach
+across chunk edges) put every pair/block-1 kernel at effective width
+4096 over the limit in at least one direction. This module replaces
+that heuristic with per-kernel, per-direction gates pinned to the
+HARDWARE-measured envelope below, plus byte estimators that document
+the structural reason.
+
+Measured envelope (v5e, this machine, round 4 probes — the same table
+is asserted by ``tests/test_vmem.py`` and re-checkable on hardware via
+``scripts/validate_kernels.py``). "eff" = w * c_out / 64, the per-row
+VMEM cost normalization; shapes are the natural block shapes of the
+512..4096px multi-scale ladder:
+
+==========  =====================  ====  ===========  ===========
+kernel      shape (w, cin, cmid)    eff  forward      backward
+==========  =====================  ====  ===========  ===========
+pair        every eff<=2048 shape  2048  ok           ok
+pair        2048,  64, 128 (b2)    4096  ok           FAIL 17.70M
+pair        1024, 128, 256 (b3f)   4096  ok           FAIL 19.91M
+pair        1024, 256, 256 (b3t)   4096  FAIL 17.51M  FAIL
+pair        512,  512, 512 (b4f)   4096  FAIL 21.00M  FAIL
+pair        512,  512, 512 (b4t)   4096  FAIL 17.83M  FAIL
+block1      w2=2048 (4096px)       4096  ok           FAIL 17.79M
+block1      w2<=1024               2048  ok           ok
+conv_gram   256, 512, 512          2048  ok           ok
+single      every probed shape,    4096  ok           ok
+            eff <= 4096
+==========  =====================  ====  ===========  ===========
+
+The pattern: at eff 4096 the H-tile bottoms out at 2 rows, so the
+kernels' fixed +2/+4 extension rows stop amortizing — a pair/block-1
+BODY alone (one ~(tile+4)-row bf16 value per pipeline stage, ~5 stages,
+plus two fp32 chunk accumulators) crosses 16 MiB, and the two-conv
+structure gives Mosaic nothing to free mid-body. The single-conv
+kernels (``conv_single.py``) carry half that body (one conv per pass,
+gate recomputed from the stored activation instead of an int8-mask
+input) and fit the same shapes with ~5 MiB of headroom, so dispatch
+decomposes a pair into two singles exactly where the pair envelope
+ends.
+"""
+
+from __future__ import annotations
+
+from style_transfer_tpu.ops.pallas.block1_packed import _w_chunks
+
+#: Mosaic's per-kernel scoped-VMEM budget on v5e (bytes).
+SCOPED_LIMIT = 16 * 2**20
+
+#: Effective width (w * c_out / 64) up to which BOTH directions of the
+#: two-conv kernels (pairs, packed block 1) are compile-validated.
+PAIR_EFF_LIMIT = 2048
+
+#: Effective width up to which the single-conv kernels (conv_single,
+#: conv_gram) are compile-validated, per W-chunk after splitting.
+SINGLE_EFF_LIMIT = 4096
+
+
+def _eff(w: int, cout: int) -> int:
+    return w * cout // 64
+
+
+def pair_fits(w: int, cin: int, cmid: int, *, pool: bool, gram: bool) -> bool:
+    """True when the conv-pair kernel (``conv_pair.py`` /
+    ``block2.py``) compiles at this shape in BOTH directions.
+
+    The measured envelope is eff <= 2048 regardless of cin/pool/gram:
+    every eff-2048 shape of the production ladder passes both ways
+    (including block 4's 9.4 MB of weights — constant operands ride the
+    pipeline window allocation, not the scoped stack), and every
+    eff-4096 shape fails at least one way (table above)."""
+    del cin, pool, gram  # direction-worst-case is eff-determined
+    return _eff(w, cmid) <= PAIR_EFF_LIMIT
+
+
+def single_fits(w: int, cin: int, cout: int, *, pool: bool, gram: bool) -> bool:
+    """True when the single-conv kernel (``conv_single.py``) compiles at
+    this shape in both directions: eff <= 4096 (probed at every 4096px-
+    scale block shape) AND the width W-chunks cleanly to eff <= 2048 per
+    fp32 accumulator chunk (``_w_chunks``; a width that cannot split —
+    e.g. 2047 — would compile the accumulator full-width)."""
+    del cin, gram
+    eff = _eff(w, cout)
+    if eff <= 2048:
+        return True
+    if eff > SINGLE_EFF_LIMIT:
+        return False
+    n = _w_chunks(w, cout)
+    if eff // n > 2048:
+        return False
+    if pool and n > 1 and (w // n) % 2:
+        return False
+    return True
+
+
+def segment_impl(w: int, cin: int, cmid: int, *, pool: bool, gram: bool):
+    """Implementation choice for one two-conv block segment
+    (conv a: cin->cmid [+Gram], conv b: cmid->cmid [+pool]):
+    ``'pair'`` (fused two-conv kernel), ``'singles'`` (two single-conv
+    kernels — the wide-shape decomposition), or ``None`` (XLA)."""
+    if pair_fits(w, cin, cmid, pool=pool, gram=gram):
+        return "pair"
+    if single_fits(w, cin, cmid, pool=False, gram=gram) and single_fits(
+        w, cmid, cmid, pool=pool, gram=False
+    ):
+        return "singles"
+    return None
+
+
+def block1_fits(w_img: int) -> bool:
+    """True when the packed block-1 kernel (``block1_packed.py``)
+    compiles at this image width in BOTH directions. Forward passes
+    through w2 = 2048 (the 4096px scale); the one-pass backward needs
+    its W-chunk escalation there (17.79M scoped at the forward's 2
+    chunks, fits at ``_w_chunks_bwd``'s 8 — see that docstring), so the
+    envelope is eff <= 4096 AND the backward escalation must land its
+    fp32 accumulator chunks at the probed eff <= 512 (a width that
+    cannot split, e.g. w2 = 2047, stays on XLA)."""
+    from style_transfer_tpu.ops.pallas.block1_packed import _w_chunks_bwd
+
+    w2 = w_img // 2
+    eff = _eff(w2, 128)
+    if eff <= PAIR_EFF_LIMIT:
+        return True
+    if eff > SINGLE_EFF_LIMIT:
+        return False
+    return eff // _w_chunks_bwd(w2, 128) <= 512
+
+
+def conv_gram_fits(w: int, cout: int) -> bool:
+    """True when the fused conv+Gram kernel (``conv_gram.py``) compiles
+    at this shape in both directions (validated at eff 2048 = the
+    4096px scale's conv5_1; it has no W-chunked form, so wider shapes
+    stay on the XLA path)."""
+    return _eff(w, cout) <= PAIR_EFF_LIMIT
+
+
+# --------------------------------------------------------- byte estimators
+#
+# Structural estimates of the kernel-BODY peak Mosaic allocates from the
+# scoped stack. These document the mechanism (what scales, what
+# chunking can and cannot shrink) and reproduce the measured backward
+# numbers within ~1.5 MB; the forward peaks depend on Mosaic scheduling
+# details (how many of the 9 tap patches are in flight) that a static
+# sum cannot pin down, which is why the GATES above use the measured
+# envelope rather than these estimates.
+
+
+def pair_bwd_scoped_bytes(w: int, cin: int, cmid: int, *, pool: bool,
+                          gram: bool) -> int:
+    """Estimated backward body peak for a conv-pair kernel. Measured:
+    17.70M at (2048, 64, 128, pool, gram) — estimate 17.5M; 19.91M at
+    (1024, 128, 256, gram) — estimate 17.5M + the gram S-product."""
+    from style_transfer_tpu.ops.pallas.conv_pair import _tile_for
+
+    tile = _tile_for(w, cmid, backward=True)
+    n = _w_chunks(w, cmid)
+    cw = w // n
+    it = 2  # bf16
+    m2e = (tile + 4) * w * cmid                    # int8 mask concat
+    dy2 = (tile + 4) * w * cmid * it               # unpooled cotangent
+    da2 = (tile + 4) * w * cmid * it               # gated cotangent
+    r1e = (tile + 2) * w * cmid * it               # residual concat
+    acc = (tile + 2) * cw * cmid * 4               # fp32 tap accumulator
+    g = (tile + 2) * cw * cmid * 4 if gram else 0  # fp32 Gram term
+    dpre1 = (tile + 2) * w * cmid * it             # mid cotangent
+    return m2e + dy2 + da2 + r1e + 2 * acc + g + dpre1
+
+
+def single_bwd_scoped_bytes(w: int, cin: int, cout: int, *, pool: bool,
+                            gram: bool) -> int:
+    """Estimated backward body peak for a single-conv kernel — roughly
+    half the pair's: one activation concat (the gate source), one
+    cotangent concat, one dpre, one fp32 accumulator chunk."""
+    from style_transfer_tpu.ops.pallas.conv_pair import _tile_for
+
+    tile = _tile_for(w, cout, backward=True)
+    n = _w_chunks(w, cout)
+    cw = w // n
+    it = 2
+    ye = (tile + 2) * w * cout * it
+    de = (tile + 2) * w * cout * it
+    dpre = (tile + 2) * w * cout * it
+    acc = tile * cw * cin * 4
+    g = (tile + 2) * cw * cout * 4 if gram else 0
+    return ye + de + dpre + 2 * acc + g

@@ -682,3 +682,83 @@ def test_full_chain_w_chunked_end_to_end(monkeypatch):
         content, style, _small_cfg(remat=True, use_fused=False, **cfg_kw)
     )
     np.testing.assert_allclose(out_chunked, out_oracle, rtol=2e-3, atol=3e-4)
+
+
+def test_singles_dispatch_end_to_end(monkeypatch):
+    """The 4096px-scale VMEM regime routed through the api: forcing every
+    two-conv segment onto the singles decomposition (vmem.segment_impl ->
+    'singles') must reproduce the oracle stylization, and a spy asserts
+    the singles factory actually carried the chain."""
+    from style_transfer_tpu.ops.pallas import conv_single as CSG
+    from style_transfer_tpu.ops.pallas import vmem as VM
+
+    r = np.random.RandomState(3)
+    content = r.rand(96, 96, 3).astype(np.float32)
+    style = r.rand(64, 64, 3).astype(np.float32)
+    cfg_kw = dict(
+        size=96, min_scale=96, iterations=(3,),
+        content_layers=("conv4_2",),
+        style_layers=("conv1_1", "conv2_1", "conv3_1", "conv4_1", "conv5_1"),
+        packed_block1=True, packed_block2=True, packed_block3=True,
+        packed_block4=True,
+        optimizer=OptimizerSpec("adam", learning_rate=0.01),
+    )
+    made = []
+    real_make = CSG.make_pair_of_singles
+
+    def spy(*, pool, gram, mesh=None, axis=None):
+        made.append((pool, gram))
+        return real_make(pool=pool, gram=gram, mesh=mesh, axis=axis)
+
+    monkeypatch.setattr(VM, "segment_impl", lambda *a, **k: "singles")
+    monkeypatch.setattr(CSG, "make_pair_of_singles", spy)
+    st = StyleTransfer()
+    out_singles = st.stylize(
+        content, style, _small_cfg(remat=True, use_fused=True, **cfg_kw)
+    )
+    # block 2 (pool+gram), fronts of 3+4 (gram), tails of 3+4 (pool)
+    assert set(made) == {(True, True), (False, True), (True, False)}
+    out_oracle = st.stylize(
+        content, style, _small_cfg(remat=True, use_fused=False, **cfg_kw)
+    )
+    np.testing.assert_allclose(out_singles, out_oracle, rtol=2e-3, atol=3e-4)
+
+
+def test_xla_block1_chain_end_to_end(monkeypatch):
+    """Beyond the packed block-1 envelope (vmem.block1_fits False — the
+    4096px scale) block 1 runs on XLA and the Pallas chain starts at
+    block 2. Must reproduce the oracle, deliver the conv1_1 Gram through
+    the override path, and still chain blocks 2+ (spied)."""
+    from style_transfer_tpu.ops.pallas import conv_single as CSG
+    from style_transfer_tpu.ops.pallas import vmem as VM
+
+    r = np.random.RandomState(4)
+    content = r.rand(96, 96, 3).astype(np.float32)
+    style = r.rand(64, 64, 3).astype(np.float32)
+    cfg_kw = dict(
+        size=96, min_scale=96, iterations=(3,),
+        content_layers=("conv4_2",),
+        style_layers=("conv1_1", "conv2_1", "conv3_1", "conv4_1", "conv5_1"),
+        packed_block1=True, packed_block2=True, packed_block3=True,
+        packed_block4=True,
+        optimizer=OptimizerSpec("adam", learning_rate=0.01),
+    )
+    made = []
+    real_make = CSG.make_pair_of_singles
+
+    def spy(*, pool, gram, mesh=None, axis=None):
+        made.append((pool, gram))
+        return real_make(pool=pool, gram=gram, mesh=mesh, axis=axis)
+
+    monkeypatch.setattr(VM, "block1_fits", lambda w: False)
+    monkeypatch.setattr(VM, "segment_impl", lambda *a, **k: "singles")
+    monkeypatch.setattr(CSG, "make_pair_of_singles", spy)
+    st = StyleTransfer()
+    out = st.stylize(
+        content, style, _small_cfg(remat=True, use_fused=True, **cfg_kw)
+    )
+    assert set(made) == {(True, True), (False, True), (True, False)}
+    out_oracle = st.stylize(
+        content, style, _small_cfg(remat=True, use_fused=False, **cfg_kw)
+    )
+    np.testing.assert_allclose(out, out_oracle, rtol=2e-3, atol=3e-4)

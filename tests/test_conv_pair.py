@@ -188,21 +188,23 @@ def test_w_chunks_auto():
     divisible, degrades to 1 when the width cannot split."""
     from style_transfer_tpu.ops.pallas.block1_packed import fits_scoped_vmem
 
-    # compile-validated unchunked regime
+    # two-conv validated envelope (no chunking needed)
     assert CP._w_chunks(1024, 128) == 1   # block 2 at 2048px
     assert CP._w_chunks(512, 256) == 1    # block 3 at 2048px
-    # the 4096px scale
+    # the 4096px scale (the singles' fp32 accumulators chunk here)
     assert CP._w_chunks(2048, 128) == 2   # block 2
     assert CP._w_chunks(1024, 256) == 2   # block 3
     assert CP._w_chunks(512, 512) == 2    # block 4
-    # UHD (3840): eff 3840 is over budget — ceil division must give 2
+    # UHD (3840): eff 3840 is over the unchunked budget — ceil gives 2
     assert CP._w_chunks(1920, 128) == 2   # block 1/2 at 3840px
-    assert fits_scoped_vmem(1920, 128)
-    # indivisible width cannot chunk -> fits_scoped_vmem says fall back
+    # indivisible width cannot chunk
     assert CP._w_chunks(2047, 128) == 1   # 4094px: half-width has no factor
-    assert not fits_scoped_vmem(2047, 128)
-    # the api dispatch consumes exactly this predicate
-    assert fits_scoped_vmem(1024, 128)    # 2048px: unchunked and in budget
+    # the deprecated round-3 gate now returns the hardware-validated
+    # two-conv envelope (eff <= 2048) — NOT the chunked-accumulator
+    # heuristic that passed shapes which don't compile (vmem.py)
+    assert fits_scoped_vmem(1024, 128)    # eff 2048: validated both ways
+    assert not fits_scoped_vmem(1920, 128)  # eff 3840: beyond the envelope
+    assert not fits_scoped_vmem(2048, 128)  # eff 4096: measured overflow
 
 
 def test_taps_w_rejects_indivisible_chunks():

@@ -48,7 +48,9 @@ def test_dryrun_multichip_self_bootstraps():
         stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT,
         text=True,
-        timeout=600,
+        # the artifact runs three sharded chain variants in interpret mode
+        # (~5 min standalone); leave headroom for a loaded host
+        timeout=1200,
     )
     assert proc.returncode == 0, proc.stdout
     assert "dryrun_multichip ok: 8 devices" in proc.stdout
