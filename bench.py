@@ -174,15 +174,28 @@ def main(argv=None) -> int:
 
     st = StyleTransfer(mesh=mesh)  # fixture weights: perf is value-independent
     r = np.random.RandomState(0)
-    content = r.rand(2048, 2048, 3).astype(np.float32)
-    style = r.rand(1024, 1024, 3).astype(np.float32)
+    # uint8 inputs: the PRODUCT path (cli.py loads images as uint8 and
+    # converts on device — 4x less host->device traffic; measured ~0.7 s
+    # of the 256px scale on a ~50 MB/s tunneled link was the fp32 content
+    # upload alone). Rounds <= 3 benched float32 random inputs; the
+    # io_dtype key discloses the change for trend readers.
+    content = (r.rand(2048, 2048, 3) * 255).astype(np.uint8)
+    style = (r.rand(1024, 1024, 3) * 255).astype(np.uint8)
 
     cfg_kw = dict(
         use_fused=not args.unfused,
         optimizer=OptimizerSpec("adam", learning_rate=0.05),
     )
 
-    extra = {"backend": backend, "devices": n_dev, "fused": not args.unfused}
+    extra = {
+        "backend": backend, "devices": n_dev, "fused": not args.unfused,
+        # Since round 4 the bench measures the product CLI transport path:
+        # uint8 image upload (device-side [0,1] conversion) and uint8
+        # quantize-on-device output fetch. Rounds <= 3 moved float32 both
+        # ways (4x the bytes) — compare wall-clocks across rounds with
+        # that in mind.
+        "io_dtype": "uint8",
+    }
 
     if args.quick:
         args.skip_rates = False  # --quick IS the 512px rate probe
@@ -300,7 +313,7 @@ def main(argv=None) -> int:
             last_t[0] = now
 
         t0 = time.time()
-        st.stylize(content, style, run_cfg, callback=scale_cb)
+        st.stylize(content, style, run_cfg, callback=scale_cb, output_dtype="uint8")
         wall = time.time() - t0
         log(f"{label}: {wall:.1f}s "
             f"{ {k: round(v, 2) for k, v in scale_seconds.items()} }")
