@@ -291,7 +291,11 @@ def main(argv=None) -> int:
             stop_tol=0.0,
         )
         t0 = time.time()
-        st.stylize(content, style, warm_cfg)
+        # output_dtype matches the timed runs so the quantize/fetch program
+        # is warm too (run 1 of the round-4 bench absorbed ~11 s of cold
+        # setup outside the per-scale loops; the median hides it, but the
+        # warm pass exists to keep it out of every run).
+        st.stylize(content, style, warm_cfg, output_dtype="uint8")
         log(f"warm pass ({label}): {time.time()-t0:.1f}s")
 
     if not args.cold:
