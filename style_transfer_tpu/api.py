@@ -151,10 +151,14 @@ class StylizeConfig:
 
     # Gradient rematerialization: recompute the VGG forward inside the
     # backward instead of storing every activation. None = auto — enabled
-    # once per-device pixels reach REMAT_AUTO_PIXELS (4K stylization stores
-    # ~10 GB of activations otherwise and overflows a single v5e's 16 GB
-    # HBM; measured cost at 1024px was ~+22% step time, so smaller scales
-    # keep the stored-activation path).
+    # once per-device pixels reach the threshold for the dispatched path:
+    # REMAT_AUTO_PIXELS on the XLA path (4K stylization stores ~10 GB of
+    # activations otherwise and fails to compile on a single v5e's 16 GB
+    # HBM — hardware-probed round 4), extended to REMAT_AUTO_PIXELS_FUSED
+    # when the full Pallas chain dispatches (its custom VJPs store lean
+    # bf16/int8 residuals; 4096x4096 measured to fit AND run 1.46x faster
+    # than the rematerialized step). Measured remat cost at 1024px was
+    # ~+22% step time, so smaller scales keep the stored-activation path.
     remat: Optional[bool] = None
 
     # Background-compile later scales' programs (worker threads) while the
@@ -171,15 +175,80 @@ class StylizeConfig:
         return int(h), int(w)
 
 
-#: Per-device pixel count at which StylizeConfig.remat=None turns itself on.
+#: Per-device pixel count at which StylizeConfig.remat=None turns itself on
+#: (XLA / partially-fused paths — they store the full fp32/bf16 activation
+#: set, ~10 GB at 4K, which fails to compile on a 16 GB v5e without remat).
 REMAT_AUTO_PIXELS = 2560 * 2560
+
+#: Extended auto-remat threshold for shapes where the FULL fused Pallas
+#: chain (packed block 1 through block 4's tail pair) dispatches: the
+#: chain's custom VJPs store bf16 block-boundary residuals plus int8 ReLU
+#: masks instead of the XLA path's activation set, measured (v5e, round-4
+#: remat probe) to fit 4096x4096 with the stored-activation backward at
+#: 1.46x the rematerialized step rate (3.98 vs 2.72 it/s). The bound sits
+#: just past 4096^2 — the largest shape hardware-validated without remat;
+#: anything bigger still rematerializes.
+REMAT_AUTO_PIXELS_FUSED = 4096 * 4096 + 1
+
+
+def _full_chain_dispatches(
+    h: int,
+    w: int,
+    *,
+    packed: Tuple[bool, bool, bool, bool],
+    all_layers: Sequence[str],
+    n_dev: Optional[int],
+) -> bool:
+    """True when an (h, w) image will run the FULL Pallas chain — packed
+    block 1 through block 4's tail pair — mirroring the dispatch gates in
+    ``objective``. Used only to pick the auto-remat threshold: the chain's
+    custom VJPs store lean bf16/int8 residuals, so remat=None stays off
+    through REMAT_AUTO_PIXELS_FUSED (measured at 4096x4096 on v5e); any
+    partial/XLA coverage keeps the conservative REMAT_AUTO_PIXELS.
+
+    ``packed`` is the (block1, block2, block3, block4) eligibility tuple;
+    ``n_dev`` is the mesh device count, or None off-mesh."""
+    from style_transfer_tpu.ops.pallas import vmem as VM
+
+    if not all(packed):
+        return False
+    # evenness at every pool boundary down to the tail pair's input
+    # (image, pool1, pool2, pool3)
+    if h % 16 or w % 16:
+        return False
+
+    def _rows_ok(rows: int) -> bool:
+        # mesh shards must be clean, even, and >= the 4-row halo
+        return n_dev is None or (
+            rows % (2 * n_dev) == 0 and rows // n_dev >= 4
+        )
+
+    if not all(_rows_ok(h // d) for d in (1, 2, 4, 8)):
+        return False
+    if not VM.block1_fits(w):
+        return False
+    if {"conv4_3", "conv4_4", "pool4"} & set(all_layers):
+        return False  # tail pair would be skipped (b4_tail_ok)
+    segs = (
+        (w // 2, 64, 128, True, True),
+        (w // 4, 128, 256, False, True),
+        (w // 4, 256, 256, True, False),
+        (w // 8, 256, 512, False, True),
+        (w // 8, 512, 512, True, False),
+    )
+    return all(
+        VM.segment_impl(sw, ci, cm, pool=p, gram=g) is not None
+        for sw, ci, cm, p, g in segs
+    )
 
 def _pipeline_auto(cfg: "StylizeConfig", pixels_per_device: int) -> bool:
     """The per-scale pipelining decision (shared by the optimize loop and
     the background compile warmer so they request identical programs):
     pipeline unless the in-flight records' state snapshots (a few
-    image-sized buffers each) would eat HBM headroom in the auto-remat
-    (memory-tight) regime."""
+    image-sized buffers each) would eat HBM headroom in the memory-tight
+    large-image regime. Deliberately keyed to REMAT_AUTO_PIXELS, NOT the
+    fused-chain extension: a no-remat 4096px step already raises residency
+    by the stored residuals, so the snapshot copies stay off there."""
     if cfg.pipeline_chunks is not None:
         return cfg.pipeline_chunks
     return pixels_per_device < REMAT_AUTO_PIXELS
@@ -508,8 +577,19 @@ class StyleTransfer:
             image = mesh_mod.constrain_spatial(image, self.mesh)
             n_dev = self.mesh.devices.size if self.mesh is not None else 1
             pixels = image.shape[1] * image.shape[2] // n_dev
+            remat_limit = (
+                REMAT_AUTO_PIXELS_FUSED
+                if _full_chain_dispatches(
+                    image.shape[1],
+                    image.shape[2],
+                    packed=(packed_b1, packed_b2, packed_b3, packed_b4),
+                    all_layers=all_layers,
+                    n_dev=n_dev if self.mesh is not None else None,
+                )
+                else REMAT_AUTO_PIXELS
+            )
             use_remat = bool(
-                cfg.remat or (cfg.remat is None and pixels >= REMAT_AUTO_PIXELS)
+                cfg.remat or (cfg.remat is None and pixels >= remat_limit)
             )
             gram_overrides = None
             # The packed kernels additionally gate on the traced shape (even

@@ -762,3 +762,62 @@ def test_xla_block1_chain_end_to_end(monkeypatch):
         content, style, _small_cfg(remat=True, use_fused=False, **cfg_kw)
     )
     np.testing.assert_allclose(out, out_oracle, rtol=2e-3, atol=3e-4)
+
+
+# ------------------------- auto-remat threshold selection (round 4)
+
+DEFAULT_LAYERS = (
+    "conv1_1", "conv2_1", "conv3_1", "conv4_1", "conv5_1", "conv4_2",
+)
+
+
+def test_full_chain_predicate_true_at_4096():
+    """The measured no-remat fit (4096x4096, full chain, v5e) must be
+    recognized so remat=None picks the stored-activation backward there."""
+    from style_transfer_tpu import api
+
+    assert api._full_chain_dispatches(
+        4096, 4096, packed=(True,) * 4, all_layers=DEFAULT_LAYERS, n_dev=None
+    )
+    # ... and the fused threshold actually covers that shape while the
+    # conservative one does not.
+    assert api.REMAT_AUTO_PIXELS <= 4096 * 4096 < api.REMAT_AUTO_PIXELS_FUSED
+
+
+def test_full_chain_predicate_conservative_cases():
+    """Anything short of the hardware-measured full-chain case keeps the
+    conservative threshold: partial packing, tail-layer requests, odd
+    extents, shapes past block 1's validated envelope."""
+    from style_transfer_tpu import api
+
+    kw = dict(all_layers=DEFAULT_LAYERS, n_dev=None)
+    # any missing packed block
+    for i in range(4):
+        packed = tuple(j != i for j in range(4))
+        assert not api._full_chain_dispatches(4096, 4096, packed=packed, **kw)
+    # block-4 tail layer requested -> tail pair skipped -> XLA remainder
+    assert not api._full_chain_dispatches(
+        4096, 4096, packed=(True,) * 4,
+        all_layers=DEFAULT_LAYERS + ("conv4_3",), n_dev=None,
+    )
+    # extents not clean through pool3
+    assert not api._full_chain_dispatches(
+        4104, 4096, packed=(True,) * 4, **kw
+    )
+    # past block 1's validated envelope (eff 8192 at w=8192)
+    assert not api._full_chain_dispatches(
+        8192, 8192, packed=(True,) * 4, **kw
+    )
+
+
+def test_full_chain_predicate_mesh_rows():
+    """On a mesh the predicate demands clean, >=4-row shards at every
+    pool depth — per-device pixels are already 1/n_dev so the extended
+    threshold rarely matters there, but the gate must not lie."""
+    from style_transfer_tpu import api
+
+    kw = dict(packed=(True,) * 4, all_layers=DEFAULT_LAYERS)
+    assert api._full_chain_dispatches(4096, 4096, n_dev=8, **kw)
+    # pool3 rows (h//8 = 32) shard to 4 rows/device: halo still ok at 4,
+    # but 16 rows -> 2 rows/device is below the 4-row halo
+    assert not api._full_chain_dispatches(128, 4096, n_dev=8, **kw)
