@@ -244,6 +244,24 @@ def main(argv=None) -> int:
             extra["its_per_sec_1024_lbfgs_chunks"] = n
             log(f"1024px L-BFGS: {extra['its_per_sec_1024_lbfgs']} it/s median of {n} "
                 f"({time.time()-t0:.0f}s)")
+            # 2048px steady rate: the headline ladder's final scale showed
+            # ~20% below linear-in-pixels scaling from 1024px; this key
+            # makes that scale's roofline position auditable on its own
+            # (60 iters / chunk 10 -> 5 steady chunks).
+            t0 = time.time()
+            med, mx, n = measure_its_per_sec(st, content, style, 2048, 60, cfg_kw, chunk=10)
+            extra["its_per_sec_2048"] = round(med, 2)
+            extra["its_per_sec_2048_chunks"] = n
+            extra["model_tflops_per_it_2048"] = round(model_tflops_per_iter(2048), 4)
+            extra["achieved_tflops_2048"] = round(
+                med * extra["model_tflops_per_it_2048"], 1
+            )
+            extra["pct_peak_2048"] = round(
+                100.0 * extra["achieved_tflops_2048"] / V5E_BF16_PEAK_TFLOPS, 1
+            )
+            log(f"2048px: {extra['its_per_sec_2048']} it/s median of {n} "
+                f"({extra['achieved_tflops_2048']} TFLOP/s, "
+                f"{extra['pct_peak_2048']}% of peak) ({time.time()-t0:.0f}s)")
 
     if args.quick:
         value = extra["its_per_sec_512"]
@@ -339,8 +357,10 @@ def main(argv=None) -> int:
     extra["per_scale_seconds"] = {k: round(v, 2) for k, v in median_scales.items()}
 
     # Config 5's resolution axis (4K single-chip, BASELINE.json:11) becomes
-    # driver-visible: one timed 4K multi-scale run (auto-remat engages at the
-    # final scale). Scales up to 2048px reuse the executables the 2048 runs
+    # driver-visible: one timed 4K multi-scale run (since the round-4 fused
+    # chain covers the 4096px scale, remat=None keeps the stored-activation
+    # backward there — REMAT_AUTO_PIXELS_FUSED — measured 1.46x the
+    # rematerialized step rate). Scales up to 2048px reuse the executables the 2048 runs
     # above compiled; the 4096-shape programs background-compile while the
     # smaller scales optimize, so a single run is mostly steady-state.
     if not args.skip_4k and args.size == 2048:
@@ -353,10 +373,11 @@ def main(argv=None) -> int:
             stop_patience=2,
             **cfg_kw,
         )
-        # The 4K step runs within ~1 GB of the v5e's HBM; since round 4
-        # the fused chain covers its widest shapes too (singles
-        # decomposition + block-1 backward W-chunk escalation at the
-        # 4096px scale — ops/pallas/vmem.py). A transient co-tenant burst
+        # Since round 4 the fused chain covers the 4K ladder's widest
+        # shapes too (singles decomposition + block-1 backward W-chunk
+        # escalation at the 4096px scale — ops/pallas/vmem.py), and its
+        # lean residuals let the no-remat backward fit the v5e's HBM
+        # there (api.REMAT_AUTO_PIXELS_FUSED). A transient co-tenant burst
         # and a real fused-path failure need different answers: retry the
         # SAME fused config once (transient pressure clears), and only
         # then fall back to the XLA conv path — recording honestly which
@@ -380,14 +401,28 @@ def main(argv=None) -> int:
             try:
                 if warm:
                     warm_for(run_cfg, label)
-                wall_4k, scales_4k = timed_run(run_cfg, label)
+                # Median of 3, like the 2048 headline: the single-run
+                # number moved ~5 s between back-to-back round-4 runs
+                # (shared chip + tunneled link), which is the size of a
+                # real optimization — the median keeps trend lines
+                # meaningful. All runs disclosed.
+                runs_4k = []
+                for rep in range(1 if args.cold else 3):
+                    wall_4k, scales_4k = timed_run(
+                        run_cfg, f"{label} (run {rep + 1})"
+                    )
+                    runs_4k.append((wall_4k, scales_4k))
             except Exception as e:
                 rec = _error_record(label, e)
                 log(f"{label} failed [{rec['error_kind']}]: {rec['detail'][:160]}")
                 extra.setdefault("errors_4096", []).append(rec)
                 extra["wallclock_4096px_multiscale"] = None
             else:
+                walls = sorted(w for w, _ in runs_4k)
+                wall_4k = walls[len(walls) // 2]
+                scales_4k = next(s for w, s in runs_4k if w == wall_4k)
                 extra["wallclock_4096px_multiscale"] = round(wall_4k, 2)
+                extra["wallclock_4096_runs"] = [round(w, 2) for w, _ in runs_4k]
                 extra["per_scale_seconds_4096"] = {
                     k: round(v, 2) for k, v in scales_4k.items()
                 }
