@@ -609,7 +609,10 @@ class StyleTransfer:
             # direction, so there each two-conv segment is decomposed into
             # two single-conv kernels (ops/pallas/conv_single.py, ~half the
             # body) and block 1 — which has no singles form — runs on XLA
-            # with the chain starting at block 2.
+            # with the chain starting at block 2. At eff 2048 exactly (the
+            # 2048px ladder) both forms compile but singles measured 18%
+            # faster (vmem.segment_impl docstring), so that edge also runs
+            # singles.
             from style_transfer_tpu.ops.pallas import vmem as VM
 
             if (

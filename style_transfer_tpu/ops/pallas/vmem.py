@@ -45,8 +45,9 @@ structure gives Mosaic nothing to free mid-body. The single-conv
 kernels (``conv_single.py``) carry half that body (one conv per pass,
 gate recomputed from the stored activation instead of an int8-mask
 input) and fit the same shapes with ~5 MiB of headroom, so dispatch
-decomposes a pair into two singles exactly where the pair envelope
-ends.
+decomposes a pair into two singles where the pair envelope ends — and
+already AT its edge (eff 2048), where a full-step A/B measured the lean
+singles bodies 18% faster than the pair (``segment_impl`` docstring).
 """
 
 from __future__ import annotations
@@ -106,13 +107,26 @@ def segment_impl(w: int, cin: int, cmid: int, *, pool: bool, gram: bool):
     """Implementation choice for one two-conv block segment
     (conv a: cin->cmid [+Gram], conv b: cmid->cmid [+pool]):
     ``'pair'`` (fused two-conv kernel), ``'singles'`` (two single-conv
-    kernels — the wide-shape decomposition), or ``None`` (XLA)."""
-    if pair_fits(w, cin, cmid, pool=pool, gram=gram):
+    kernels), or ``None`` (XLA).
+
+    Singles are not just the beyond-the-pair-envelope fallback: AT the
+    pair envelope's edge (eff 2048, the 2048px ladder's shapes) both
+    forms compile but both bottom out at the same halved 2-row backward
+    tile, and there the pair's larger fused body schedules worse than
+    two lean bodies — full-step A/B on v5e (round 4): singles 16.18 it/s
+    vs pairs 13.72 at 2048px (+18%). Below that (eff < 2048; in the
+    power-of-two ladders that means eff <= 1024, where 8-row tiles
+    amortize the halos) the pair's saved mid-activation HBM round-trip
+    wins, so pairs keep those shapes."""
+    eff = _eff(w, cmid)
+    if eff < PAIR_EFF_LIMIT and pair_fits(w, cin, cmid, pool=pool, gram=gram):
         return "pair"
     if single_fits(w, cin, cmid, pool=False, gram=gram) and single_fits(
         w, cmid, cmid, pool=pool, gram=False
     ):
         return "singles"
+    if pair_fits(w, cin, cmid, pool=pool, gram=gram):
+        return "pair"
     return None
 
 

@@ -81,12 +81,18 @@ def test_conv_gram_gate_matches_hardware_table():
 
 
 def test_segment_impl_ladder_decisions():
-    """The production ladders' per-block decisions: pairs inside their
-    envelope, singles at the 4096px scale, never an unvalidated shape."""
-    # 2048px scale and below: pairs everywhere
-    assert VM.segment_impl(1024, 64, 128, pool=True, gram=True) == "pair"
-    assert VM.segment_impl(512, 128, 256, pool=False, gram=True) == "pair"
-    assert VM.segment_impl(256, 256, 512, pool=False, gram=True) == "pair"
+    """The production ladders' per-block decisions: pairs strictly inside
+    their envelope, singles at the envelope edge (eff 2048 — measured 18%
+    faster than pairs there, round-4 A/B) and at the 4096px scale, never
+    an unvalidated shape."""
+    # 1024px scale and below (eff <= 1024): pairs everywhere
+    assert VM.segment_impl(512, 64, 128, pool=True, gram=True) == "pair"
+    assert VM.segment_impl(256, 128, 256, pool=False, gram=True) == "pair"
+    assert VM.segment_impl(128, 256, 512, pool=False, gram=True) == "pair"
+    # 2048px scale (eff 2048): singles overtake at the envelope edge
+    assert VM.segment_impl(1024, 64, 128, pool=True, gram=True) == "singles"
+    assert VM.segment_impl(512, 128, 256, pool=False, gram=True) == "singles"
+    assert VM.segment_impl(256, 256, 512, pool=False, gram=True) == "singles"
     # 4096px scale: singles everywhere
     assert VM.segment_impl(2048, 64, 128, pool=True, gram=True) == "singles"
     assert VM.segment_impl(1024, 128, 256, pool=False, gram=True) == "singles"
