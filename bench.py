@@ -262,6 +262,30 @@ def main(argv=None) -> int:
             log(f"2048px: {extra['its_per_sec_2048']} it/s median of {n} "
                 f"({extra['achieved_tflops_2048']} TFLOP/s, "
                 f"{extra['pct_peak_2048']}% of peak) ({time.time()-t0:.0f}s)")
+            # 4096px steady rate: completes the roofline disclosure at
+            # every scale the ladders run (the 4K headline's top scale is
+            # otherwise only visible as per-scale wall-clock, which mixes
+            # capture/fetch into the number). chunk 25 shares the 4K
+            # ladder's run program; 125 iters -> 4 steady chunks.
+            if not args.skip_4k:
+                t0 = time.time()
+                med, mx, n = measure_its_per_sec(
+                    st, content, style, 4096, 125, cfg_kw, chunk=25
+                )
+                extra["its_per_sec_4096"] = round(med, 2)
+                extra["its_per_sec_4096_chunks"] = n
+                extra["model_tflops_per_it_4096"] = round(
+                    model_tflops_per_iter(4096), 4
+                )
+                extra["achieved_tflops_4096"] = round(
+                    med * extra["model_tflops_per_it_4096"], 1
+                )
+                extra["pct_peak_4096"] = round(
+                    100.0 * extra["achieved_tflops_4096"] / V5E_BF16_PEAK_TFLOPS, 1
+                )
+                log(f"4096px: {extra['its_per_sec_4096']} it/s median of {n} "
+                    f"({extra['achieved_tflops_4096']} TFLOP/s, "
+                    f"{extra['pct_peak_4096']}% of peak) ({time.time()-t0:.0f}s)")
 
     if args.quick:
         value = extra["its_per_sec_512"]
