@@ -69,11 +69,18 @@ def _tile_h(w: int, backward: bool = False) -> int:
     The backward holds more live rows (the +-2-row extension, the unpool
     intermediates, and the fp32 dpre accumulator), and at W=2048 measured
     236 KB over the 16 MB scoped-VMEM limit at the forward tile — so wide
-    backwards halve the tile."""
+    backwards halve the tile.
+
+    The tile is always EVEN: the 2x2-pool epilogues pair rows WITHIN a
+    tile (``_pool2x2``'s row-pair reshape), so an odd tile fails to trace
+    on every pooled kernel. Power-of-two effective widths always got
+    even tiles for free; non-power-of-two ones (eff 2049-2730 -> 3,
+    1490-1638 -> 5, ...) crashed until the parity floor below (round-4
+    review finding)."""
     t = max(2, min(32, 8 * 1024 // max(w, 1)))
     if backward and w > 1024:
         t = max(2, t // 2)
-    return t
+    return max(2, t - (t % 2))
 
 
 # ------------------------------------------------------------ weight packing

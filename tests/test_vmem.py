@@ -106,6 +106,69 @@ def test_segment_impl_ladder_decisions():
     assert VM.segment_impl(2047, 64, 128, pool=False, gram=True) is None
 
 
+def test_tile_is_always_even():
+    """The 2x2-pool epilogues pair rows WITHIN a grid tile, so every
+    kernel tile must be even. Power-of-two effective widths got even
+    tiles for free; non-power-of-two ones (eff 2049-2730 -> 3,
+    1490-1638 -> 5, 1025-1170 -> 7, ...) produced odd tiles that failed
+    the pool row-pair reshape at trace time — a 1536px or 2560px TPU
+    stylization crashed instead of running (round-4 review finding)."""
+    from style_transfer_tpu.ops.pallas.block1_packed import _tile_h
+
+    for eff in list(range(64, 4200, 61)) + [820, 1100, 1536, 1600, 2560]:
+        for backward in (False, True):
+            t = _tile_h(eff, backward)
+            assert t >= 2 and t % 2 == 0, (eff, backward, t)
+
+
+def test_odd_tile_pooled_shapes_trace():
+    """Shapes whose tile came out odd before the parity floor must trace
+    (forward AND backward) on every pooled kernel family. eval_shape
+    runs the full abstract trace — the historical failure mode was a
+    trace-time reshape error — without executing anything."""
+    import jax
+    import jax.numpy as jnp
+
+    from style_transfer_tpu.ops.pallas import conv_pair, conv_single
+    from style_transfer_tpu.ops.pallas import block1_packed as B1P
+
+    # conv_single, eff 2560 (tile was 3): the 2560px ladder's block-4 tail
+    x = jnp.zeros((1, 8, 320, 512), jnp.bfloat16)
+    k = jnp.zeros((3, 3, 512, 512), jnp.bfloat16)
+    b = jnp.zeros((512,), jnp.bfloat16)
+    single = conv_single.make_conv_single(pool=True, gram=False)
+    jax.eval_shape(single, x, k, b)
+    jax.eval_shape(jax.grad(lambda x: single(x, k, b).astype(jnp.float32).sum()), x)
+
+    # conv_pair, eff 1636 (tile was 5) — inside the pair envelope
+    x2 = jnp.zeros((1, 8, 818, 64), jnp.bfloat16)
+    k1 = jnp.zeros((3, 3, 64, 128), jnp.bfloat16)
+    k2 = jnp.zeros((3, 3, 128, 128), jnp.bfloat16)
+    b1 = jnp.zeros((128,), jnp.bfloat16)
+    b2 = jnp.zeros((128,), jnp.bfloat16)
+    pair = conv_pair.make_conv_pair(pool=True, gram=True)
+    jax.eval_shape(pair, x2, k1, b1, k2, b2)
+    jax.eval_shape(
+        jax.grad(lambda x: pair(x, k1, b1, k2, b2)[0].astype(jnp.float32).sum()),
+        x2,
+    )
+
+    # packed block 1 at a 1536px image (w2=768, eff 1536: tile was 5)
+    img = jnp.zeros((1, 16, 1536, 3), jnp.bfloat16)
+    kk1 = jnp.zeros((3, 3, 3, 64), jnp.bfloat16)
+    kk2 = jnp.zeros((3, 3, 64, 64), jnp.bfloat16)
+    bb = jnp.zeros((64,), jnp.bfloat16)
+    jax.eval_shape(B1P.block1_packed, img, kk1, bb, kk2, bb)
+    jax.eval_shape(
+        jax.grad(
+            lambda x: B1P.block1_packed(x, kk1, bb, kk2, bb)[0]
+            .astype(jnp.float32)
+            .sum()
+        ),
+        img,
+    )
+
+
 def test_every_ladder_shape_is_validated():
     """Walk every (block, scale) shape the api dispatch can choose across
     the 256..4096 ladder and assert the decision lands inside the
