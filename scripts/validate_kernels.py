@@ -160,9 +160,18 @@ def main(argv=None) -> int:
 
     all_ok = True
     for size in args.sizes:
-        if size % 16:
-            log(f"size {size}: skipping (needs %16 for the block-4 shapes)")
+        if size % 8:
+            log(f"size {size}: skipping (block shapes need size % 8 == 0)")
             continue
+        if (size // 2) % 16:
+            # misaligned sizes are allowed so the sublane-grid envelope is
+            # reproducible from the repo (vmem.py module docstring): every
+            # off-grid case reports gate_fits=false and is skipped unless
+            # --force-gated, which compiles it anyway — expect scoped-VMEM
+            # failures (pair@260: 20.20M) or multi-minute Mosaic compiles
+            # (pair@264: 504 s) that CONFIRM the gate.
+            log(f"size {size}: NOTE sub-block widths are off the 16-row "
+                "sublane grid; gates keep those cases on XLA")
         log(f"== image size {size} ==")
         if "b1" in args.blocks:
             k1, b1 = w(3, 64, 0.2)

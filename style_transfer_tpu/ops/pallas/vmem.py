@@ -25,17 +25,39 @@ VMEM cost normalization; shapes are the natural block shapes of the
 kernel      shape (w, cin, cmid)    eff  forward      backward
 ==========  =====================  ====  ===========  ===========
 pair        every eff<=2048 shape  2048  ok           ok
+            with w % 16 == 0
 pair        2048,  64, 128 (b2)    4096  ok           FAIL 17.70M
 pair        1024, 128, 256 (b3f)   4096  ok           FAIL 19.91M
 pair        1024, 256, 256 (b3t)   4096  FAIL 17.51M  FAIL
 pair        512,  512, 512 (b4f)   4096  FAIL 21.00M  FAIL
 pair        512,  512, 512 (b4t)   4096  FAIL 17.83M  FAIL
+pair        260,   64, 128          520  FAIL 20.20M  --
+pair        264,   64, 128          528  ok (504 s!)  ok (3.7 s)
+pair        272,   64, 128          544  ok (2.8 s)   ok (2.9 s)
+single      260,   64, 128 (gram)   520  ok (16.9 s)  ok (17.3 s)
 block1      w2=2048 (4096px)       4096  ok           FAIL 17.79M
 block1      w2<=1024               2048  ok           ok
 conv_gram   256, 512, 512          2048  ok           ok
 single      every probed shape,    4096  ok           ok
             eff <= 4096
 ==========  =====================  ====  ===========  ===========
+
+**Sublane alignment is part of the envelope.** The three 260/264/272
+rows are the round-4 misalignment probe: widths off the 16-row bf16
+sublane grid (W is the second-minor axis of every NHWC kernel operand,
+so Mosaic tiles it in 16-row bf16 sublanes) make both the VMEM peak and
+the compile time unpredictable — at w=260 a shape whose eff (520) sits
+at a QUARTER of the pair envelope fails scoped VMEM at 20.20M, and at
+w=264 (8-multiple but not 16) the forward compiles for 504 seconds.
+Only w % 16 == 0 restores both the measured envelope and sane (~3 s)
+compile times, so every gate below requires ``_aligned(w)``; misaligned
+widths (e.g. the w=650 block-2 segment of a 1300px stylization) fall
+back to XLA, which handles any shape at predictable compile cost. The
+singles DID compile at w=260, but at ~17 s per direction per kernel —
+an unbounded-feeling stall multiplied across ~8 kernels x scales — so
+they are gated to the aligned grid too. Sub-tile widths (w < 16, one
+padded sublane tile) stay in: the driver's 64px-image compile contract
+has exercised pair@8 and conv_gram@4 on hardware every round.
 
 The pattern: at eff 4096 the H-tile bottoms out at 2 rows, so the
 kernels' fixed +2/+4 extension rows stop amortizing — a pair/block-1
@@ -61,6 +83,21 @@ SCOPED_LIMIT = 16 * 2**20
 #: two-conv kernels (pairs, packed block 1) are compile-validated.
 PAIR_EFF_LIMIT = 2048
 
+#: bf16 sublane tile on the W (second-minor) axis. Widths off this grid
+#: void the measured envelope (module docstring, misalignment probe):
+#: w=260 fails scoped VMEM at a quarter of the eff limit, w=264 takes
+#: 504 s to compile. Every gate requires ``_aligned(w)``.
+SUBLANE = 16
+
+
+def _aligned(w: int) -> bool:
+    """Widths the measured envelope is valid for: multiples of the bf16
+    sublane tile, plus sub-tile widths (w < 16, one padded tile — the
+    driver's 64px-image compile contract has exercised pair kernels at
+    block-4 width 8 on hardware every round). Large off-grid widths are
+    the pathology (module docstring)."""
+    return w % SUBLANE == 0 or w < SUBLANE
+
 #: Effective width up to which the single-conv kernels (conv_single,
 #: conv_gram) are compile-validated, per W-chunk after splitting.
 SINGLE_EFF_LIMIT = 4096
@@ -78,9 +115,12 @@ def pair_fits(w: int, cin: int, cmid: int, *, pool: bool, gram: bool) -> bool:
     every eff-2048 shape of the production ladder passes both ways
     (including block 4's 9.4 MB of weights — constant operands ride the
     pipeline window allocation, not the scoped stack), and every
-    eff-4096 shape fails at least one way (table above)."""
+    eff-4096 shape fails at least one way (table above). The envelope
+    only holds on the 16-row sublane grid (module docstring): w=260
+    fails scoped VMEM at eff 520 and w=264 compiles for 504 s, so
+    misaligned widths are out regardless of eff."""
     del cin, pool, gram  # direction-worst-case is eff-determined
-    return _eff(w, cmid) <= PAIR_EFF_LIMIT
+    return _aligned(w) and _eff(w, cmid) <= PAIR_EFF_LIMIT
 
 
 def single_fits(w: int, cin: int, cout: int, *, pool: bool, gram: bool) -> bool:
@@ -88,8 +128,13 @@ def single_fits(w: int, cin: int, cout: int, *, pool: bool, gram: bool) -> bool:
     this shape in both directions: eff <= 4096 (probed at every 4096px-
     scale block shape) AND the width W-chunks cleanly to eff <= 2048 per
     fp32 accumulator chunk (``_w_chunks``; a width that cannot split —
-    e.g. 2047 — would compile the accumulator full-width)."""
+    e.g. 2047 — would compile the accumulator full-width). Misaligned
+    widths compiled in the probe (w=260: ok) but at ~17 s per direction
+    per kernel vs ~3 s aligned, so the gate keeps them on XLA (module
+    docstring)."""
     del cin, gram
+    if not _aligned(w):
+        return False
     eff = _eff(w, cout)
     if eff <= 2048:
         return True
@@ -142,6 +187,8 @@ def block1_fits(w_img: int) -> bool:
     from style_transfer_tpu.ops.pallas.block1_packed import _w_chunks_bwd
 
     w2 = w_img // 2
+    if not _aligned(w2):  # kernel width = packed half-width (docstring)
+        return False
     eff = _eff(w2, 128)
     if eff <= PAIR_EFF_LIMIT:
         return True
@@ -154,8 +201,9 @@ def conv_gram_fits(w: int, cout: int) -> bool:
     """True when the fused conv+Gram kernel (``conv_gram.py``) compiles
     at this shape in both directions (validated at eff 2048 = the
     4096px scale's conv5_1; it has no W-chunked form, so wider shapes
-    stay on the XLA path)."""
-    return _eff(w, cout) <= PAIR_EFF_LIMIT
+    stay on the XLA path). Sublane-aligned widths only, like every
+    gate (module docstring)."""
+    return _aligned(w) and _eff(w, cout) <= PAIR_EFF_LIMIT
 
 
 # --------------------------------------------------------- byte estimators

@@ -106,6 +106,33 @@ def test_segment_impl_ladder_decisions():
     assert VM.segment_impl(2047, 64, 128, pool=False, gram=True) is None
 
 
+def test_misaligned_widths_stay_on_xla():
+    """Widths off the 16-row bf16 sublane grid void the measured
+    envelope (round-4 misalignment probe, vmem.py module docstring):
+    pair@260 (eff 520, a QUARTER of the eff limit) fails scoped VMEM at
+    20.20M, pair@264 compiles for 504 s, and only pair@272 (16-multiple)
+    restores the ~3 s compile. Every gate therefore requires
+    w % 16 == 0; the realistic trigger is a non-32-multiple user size —
+    e.g. 1300px puts block 2 at w=650 — which must fall back to XLA
+    instead of crashing in compile."""
+    # the probe's three widths, at the probe's channels
+    assert not VM.pair_fits(260, 64, 128, pool=True, gram=True)
+    assert not VM.pair_fits(264, 64, 128, pool=True, gram=True)
+    assert VM.pair_fits(272, 64, 128, pool=True, gram=True)
+    # singles compiled at 260 but at ~17 s/direction/kernel: gated too
+    assert not VM.single_fits(260, 64, 128, pool=False, gram=True)
+    assert VM.single_fits(272, 64, 128, pool=False, gram=True)
+    # a 1300px stylization: every fused entry point declines
+    assert VM.segment_impl(650, 64, 128, pool=True, gram=True) is None
+    assert not VM.block1_fits(1300)
+    assert not VM.conv_gram_fits(1300 // 16, 512)
+    # aligned non-power-of-two sizes keep the fused path (1536/2560px)
+    assert VM.block1_fits(1536)
+    assert VM.segment_impl(768, 64, 128, pool=True, gram=True) is not None
+    assert VM.segment_impl(1280, 64, 128, pool=True, gram=True) is not None
+    assert VM.conv_gram_fits(1536 // 16, 512)
+
+
 def test_tile_is_always_even():
     """The 2x2-pool epilogues pair rows WITHIN a grid tile, so every
     kernel tile must be even. Power-of-two effective widths got even
