@@ -251,6 +251,7 @@ def main(argv=None) -> int:
             t0 = time.time()
             med, mx, n = measure_its_per_sec(st, content, style, 2048, 60, cfg_kw, chunk=10)
             extra["its_per_sec_2048"] = round(med, 2)
+            extra["its_per_sec_2048_max"] = round(mx, 2)
             extra["its_per_sec_2048_chunks"] = n
             extra["model_tflops_per_it_2048"] = round(model_tflops_per_iter(2048), 4)
             extra["achieved_tflops_2048"] = round(
@@ -273,6 +274,7 @@ def main(argv=None) -> int:
                     st, content, style, 4096, 125, cfg_kw, chunk=25
                 )
                 extra["its_per_sec_4096"] = round(med, 2)
+                extra["its_per_sec_4096_max"] = round(mx, 2)
                 extra["its_per_sec_4096_chunks"] = n
                 extra["model_tflops_per_it_4096"] = round(
                     model_tflops_per_iter(4096), 4

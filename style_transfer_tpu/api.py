@@ -544,35 +544,19 @@ class StyleTransfer:
             )
         )
 
-    def _programs(self, cfg: StylizeConfig):
-        """The per-config jitted program set (capture/init/step/upsample)."""
-        key = self._prog_key(cfg)
-        cached = self._prog_cache.get(key)
-        if cached is not None:
-            self._prog_cache.move_to_end(key)
-            return cached
-
-        c_weights = L.normalize_layer_weights(cfg.content_layers, cfg.content_layer_weights)
-        s_weights = L.normalize_layer_weights(cfg.style_layers, cfg.style_layer_weights)
-        all_layers = tuple(dict.fromkeys(list(cfg.content_layers) + list(cfg.style_layers)))
-        gram_fn = self._gram_fn(cfg)
-        loss_fns = self._loss_fns(cfg)
-
-        @jax.jit
-        def capture_content(params, content_img):
-            return self._features(params, content_img, tuple(cfg.content_layers))
-
-        @jax.jit
-        def capture_style(params, style_img):
-            feats = self._features(params, style_img, tuple(cfg.style_layers))
-            return {k: gram_fn(v) for k, v in feats.items()}
-
-        fused_b1 = self._block1_eligible(cfg)
-        packed_b1 = self._packed_block1_eligible(cfg)
-        packed_b2 = self._packed_block2_eligible(cfg)
-        packed_b3 = self._packed_block3_eligible(cfg)
-        packed_b4 = self._packed_block4_eligible(cfg)
-
+    def _build_objective(self, cfg, *, c_weights, s_weights, all_layers,
+                         gram_fn, loss_fns, fused_b1, packed_b1, packed_b2,
+                         packed_b3, packed_b4):
+        """Build the loss closure ``objective(params, image, c_targets,
+        s_targets) -> (loss, terms)`` with every kernel-dispatch decision
+        baked in. Split out of :meth:`_programs` so tests can trace the
+        REAL dispatch at any static shape (``jax.eval_shape`` — no compile,
+        no compute) and pin it against :func:`_full_chain_dispatches`, the
+        auto-remat mirror of these gates (tests/test_api.py::
+        test_full_chain_mirror_matches_real_dispatch): if the mirror said
+        True while a segment silently fell back to XLA, remat=None could
+        stay off past REMAT_AUTO_PIXELS with partial-chain residency and
+        exhaust HBM at 4K."""
         def objective(params, image, c_targets, s_targets):
             image = mesh_mod.constrain_spatial(image, self.mesh)
             n_dev = self.mesh.devices.size if self.mesh is not None else 1
@@ -928,6 +912,43 @@ class StyleTransfer:
                 **loss_fns,
             )
             return return_terms["loss"], return_terms
+        return objective
+
+    def _programs(self, cfg: StylizeConfig):
+        """The per-config jitted program set (capture/init/step/upsample)."""
+        key = self._prog_key(cfg)
+        cached = self._prog_cache.get(key)
+        if cached is not None:
+            self._prog_cache.move_to_end(key)
+            return cached
+
+        c_weights = L.normalize_layer_weights(cfg.content_layers, cfg.content_layer_weights)
+        s_weights = L.normalize_layer_weights(cfg.style_layers, cfg.style_layer_weights)
+        all_layers = tuple(dict.fromkeys(list(cfg.content_layers) + list(cfg.style_layers)))
+        gram_fn = self._gram_fn(cfg)
+        loss_fns = self._loss_fns(cfg)
+
+        @jax.jit
+        def capture_content(params, content_img):
+            return self._features(params, content_img, tuple(cfg.content_layers))
+
+        @jax.jit
+        def capture_style(params, style_img):
+            feats = self._features(params, style_img, tuple(cfg.style_layers))
+            return {k: gram_fn(v) for k, v in feats.items()}
+
+        fused_b1 = self._block1_eligible(cfg)
+        packed_b1 = self._packed_block1_eligible(cfg)
+        packed_b2 = self._packed_block2_eligible(cfg)
+        packed_b3 = self._packed_block3_eligible(cfg)
+        packed_b4 = self._packed_block4_eligible(cfg)
+
+        objective = self._build_objective(
+            cfg, c_weights=c_weights, s_weights=s_weights,
+            all_layers=all_layers, gram_fn=gram_fn, loss_fns=loss_fns,
+            fused_b1=fused_b1, packed_b1=packed_b1, packed_b2=packed_b2,
+            packed_b3=packed_b3, packed_b4=packed_b4,
+        )
 
         @jax.jit
         def init_opt_state(image):

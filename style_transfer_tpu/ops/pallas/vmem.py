@@ -53,6 +53,12 @@ Only w % 16 == 0 restores both the measured envelope and sane (~3 s)
 compile times, so every gate below requires ``_aligned(w)``; misaligned
 widths (e.g. the w=650 block-2 segment of a 1300px stylization) fall
 back to XLA, which handles any shape at predictable compile cost. The
+alignment gate is scoped to real Mosaic compiles (``_mosaic()``):
+off-TPU, Pallas runs in interpret mode, where neither the scoped-VMEM
+stack nor the misalignment pathology exists, so forced
+(``packed_block*=True``) interpret-mode dispatch keeps working at any
+width — the kernel test suite depends on that, and tests that pin the
+HARDWARE gating do it via the explicit ``tpu=True`` kwarg. The
 singles DID compile at w=260, but at ~17 s per direction per kernel —
 an unbounded-feeling stall multiplied across ~8 kernels x scales — so
 they are gated to the aligned grid too. Sub-tile widths (w < 16, one
@@ -74,6 +80,8 @@ singles bodies 18% faster than the pair (``segment_impl`` docstring).
 
 from __future__ import annotations
 
+import jax
+
 from style_transfer_tpu.ops.pallas.block1_packed import _w_chunks
 
 #: Mosaic's per-kernel scoped-VMEM budget on v5e (bytes).
@@ -90,12 +98,27 @@ PAIR_EFF_LIMIT = 2048
 SUBLANE = 16
 
 
-def _aligned(w: int) -> bool:
+def _mosaic() -> bool:
+    """Whether dispatched kernels will really be compiled by Mosaic.
+    Off-TPU, Pallas runs in interpret mode (each kernel module's
+    ``_interpret()``): there is no scoped-VMEM stack and no sublane-
+    misalignment compile pathology, so the alignment gate must not
+    apply — forced (``packed_block*=True``) interpret-mode dispatch,
+    which the kernel test suite relies on, keeps working at any width.
+    Tests pin the TPU behavior from CPU via the ``tpu=`` gate kwarg."""
+    return jax.default_backend() == "tpu"
+
+
+def _aligned(w: int, tpu: bool | None = None) -> bool:
     """Widths the measured envelope is valid for: multiples of the bf16
     sublane tile, plus sub-tile widths (w < 16, one padded tile — the
     driver's 64px-image compile contract has exercised pair kernels at
     block-4 width 8 on hardware every round). Large off-grid widths are
-    the pathology (module docstring)."""
+    the pathology (module docstring) — but ONLY under a real Mosaic
+    compile: in interpret mode every width is fine, so off-TPU this
+    returns True unless ``tpu=True`` pins the hardware semantics."""
+    if not (_mosaic() if tpu is None else tpu):
+        return True
     return w % SUBLANE == 0 or w < SUBLANE
 
 #: Effective width up to which the single-conv kernels (conv_single,
@@ -107,7 +130,10 @@ def _eff(w: int, cout: int) -> int:
     return w * cout // 64
 
 
-def pair_fits(w: int, cin: int, cmid: int, *, pool: bool, gram: bool) -> bool:
+def pair_fits(
+    w: int, cin: int, cmid: int, *, pool: bool, gram: bool,
+    tpu: bool | None = None,
+) -> bool:
     """True when the conv-pair kernel (``conv_pair.py`` /
     ``block2.py``) compiles at this shape in BOTH directions.
 
@@ -120,10 +146,13 @@ def pair_fits(w: int, cin: int, cmid: int, *, pool: bool, gram: bool) -> bool:
     fails scoped VMEM at eff 520 and w=264 compiles for 504 s, so
     misaligned widths are out regardless of eff."""
     del cin, pool, gram  # direction-worst-case is eff-determined
-    return _aligned(w) and _eff(w, cmid) <= PAIR_EFF_LIMIT
+    return _aligned(w, tpu) and _eff(w, cmid) <= PAIR_EFF_LIMIT
 
 
-def single_fits(w: int, cin: int, cout: int, *, pool: bool, gram: bool) -> bool:
+def single_fits(
+    w: int, cin: int, cout: int, *, pool: bool, gram: bool,
+    tpu: bool | None = None,
+) -> bool:
     """True when the single-conv kernel (``conv_single.py``) compiles at
     this shape in both directions: eff <= 4096 (probed at every 4096px-
     scale block shape) AND the width W-chunks cleanly to eff <= 2048 per
@@ -133,7 +162,7 @@ def single_fits(w: int, cin: int, cout: int, *, pool: bool, gram: bool) -> bool:
     per kernel vs ~3 s aligned, so the gate keeps them on XLA (module
     docstring)."""
     del cin, gram
-    if not _aligned(w):
+    if not _aligned(w, tpu):
         return False
     eff = _eff(w, cout)
     if eff <= 2048:
@@ -148,7 +177,10 @@ def single_fits(w: int, cin: int, cout: int, *, pool: bool, gram: bool) -> bool:
     return True
 
 
-def segment_impl(w: int, cin: int, cmid: int, *, pool: bool, gram: bool):
+def segment_impl(
+    w: int, cin: int, cmid: int, *, pool: bool, gram: bool,
+    tpu: bool | None = None,
+):
     """Implementation choice for one two-conv block segment
     (conv a: cin->cmid [+Gram], conv b: cmid->cmid [+pool]):
     ``'pair'`` (fused two-conv kernel), ``'singles'`` (two single-conv
@@ -164,18 +196,22 @@ def segment_impl(w: int, cin: int, cmid: int, *, pool: bool, gram: bool):
     amortize the halos) the pair's saved mid-activation HBM round-trip
     wins, so pairs keep those shapes."""
     eff = _eff(w, cmid)
-    if eff < PAIR_EFF_LIMIT and pair_fits(w, cin, cmid, pool=pool, gram=gram):
-        return "pair"
-    if single_fits(w, cin, cmid, pool=False, gram=gram) and single_fits(
-        w, cmid, cmid, pool=pool, gram=False
+    if eff < PAIR_EFF_LIMIT and pair_fits(
+        w, cin, cmid, pool=pool, gram=gram, tpu=tpu
     ):
-        return "singles"
-    if pair_fits(w, cin, cmid, pool=pool, gram=gram):
         return "pair"
+    if single_fits(
+        w, cin, cmid, pool=False, gram=gram, tpu=tpu
+    ) and single_fits(w, cmid, cmid, pool=pool, gram=False, tpu=tpu):
+        return "singles"
+    # pair_fits ⊂ single_fits here: a shape the pair envelope admits at
+    # eff == PAIR_EFF_LIMIT (the only eff the first branch skipped) is
+    # inside the singles envelope too, so the singles branch above has
+    # already taken it — no trailing pair fallback exists.
     return None
 
 
-def block1_fits(w_img: int) -> bool:
+def block1_fits(w_img: int, tpu: bool | None = None) -> bool:
     """True when the packed block-1 kernel (``block1_packed.py``)
     compiles at this image width in BOTH directions. Forward passes
     through w2 = 2048 (the 4096px scale); the one-pass backward needs
@@ -187,7 +223,7 @@ def block1_fits(w_img: int) -> bool:
     from style_transfer_tpu.ops.pallas.block1_packed import _w_chunks_bwd
 
     w2 = w_img // 2
-    if not _aligned(w2):  # kernel width = packed half-width (docstring)
+    if not _aligned(w2, tpu):  # kernel width = packed half-width (docstring)
         return False
     eff = _eff(w2, 128)
     if eff <= PAIR_EFF_LIMIT:
@@ -197,13 +233,13 @@ def block1_fits(w_img: int) -> bool:
     return eff // _w_chunks_bwd(w2, 128) <= 512
 
 
-def conv_gram_fits(w: int, cout: int) -> bool:
+def conv_gram_fits(w: int, cout: int, tpu: bool | None = None) -> bool:
     """True when the fused conv+Gram kernel (``conv_gram.py``) compiles
     at this shape in both directions (validated at eff 2048 = the
     4096px scale's conv5_1; it has no W-chunked form, so wider shapes
     stay on the XLA path). Sublane-aligned widths only, like every
     gate (module docstring)."""
-    return _aligned(w) and _eff(w, cout) <= PAIR_EFF_LIMIT
+    return _aligned(w, tpu) and _eff(w, cout) <= PAIR_EFF_LIMIT
 
 
 # --------------------------------------------------------- byte estimators

@@ -578,6 +578,127 @@ def test_packed_block4_full_chain_dispatches_conv_gram(st, images, monkeypatch):
     assert calls and np.isfinite(out).all()
 
 
+def test_off_grid_width_falls_back_to_xla_under_mosaic_gates(
+    st, images, monkeypatch
+):
+    """On real TPU (simulated here by pinning ``vmem._mosaic`` True) a
+    width off the 16-row sublane grid must route the WHOLE objective to
+    the XLA path — no Pallas kernel dispatch, no compile attempt — and
+    still reproduce the oracle bit-for-bit (same XLA program). Width 48
+    puts packed block 1 at w2=24, off-grid; this pins the round-4
+    regression's fallback direction explicitly (vmem.py misalignment
+    probe: w=260 fails scoped VMEM, w=264 compiles for 504 s)."""
+    from style_transfer_tpu.ops.pallas import block1_packed as B1P
+    from style_transfer_tpu.ops.pallas import vmem as VM
+
+    monkeypatch.setattr(VM, "_mosaic", lambda: True)
+    calls = []
+    real = B1P.block1_packed
+    monkeypatch.setattr(
+        B1P, "block1_packed", lambda *a: calls.append(1) or real(*a)
+    )
+    content, style = images
+    cfg_kw = dict(size=(64, 48), iterations=(2,), min_scale=64)
+    st2 = StyleTransfer(params=st.params)  # fresh program cache
+    out_forced = st2.stylize(
+        content, style,
+        _small_cfg(packed_block1=True, packed_block2=True, use_fused=True,
+                   **cfg_kw),
+    )
+    assert not calls, "off-grid width dispatched a Pallas kernel under Mosaic gates"
+    out_oracle = st2.stylize(content, style, _small_cfg(**cfg_kw))
+    np.testing.assert_array_equal(out_forced, out_oracle)
+
+
+def test_full_chain_mirror_matches_real_dispatch(st, monkeypatch):
+    """_full_chain_dispatches is the auto-remat mirror of the objective's
+    kernel-dispatch gates; if the two drift, remat=None could stay off past
+    REMAT_AUTO_PIXELS while part of the chain silently falls back to XLA —
+    HBM exhaustion at 4K. This traces the REAL dispatch (jax.eval_shape on
+    the objective closure — no compile, no compute, dispatch decisions all
+    fire at trace time) at the exact regime the mirror unlocks: 4096x4096,
+    hardware gate semantics (vmem._mosaic pinned True), and asserts the
+    full chain engages — packed block 1, four two-conv segments, the
+    conv5_1 conv+Gram — with extract_features never reachable."""
+    import jax
+
+    from style_transfer_tpu import api as api_mod
+    from style_transfer_tpu.models import vgg as vgg_mod
+    from style_transfer_tpu.ops import losses as L
+    from style_transfer_tpu.ops.pallas import block1_packed as B1P
+    from style_transfer_tpu.ops.pallas import block2 as B2F
+    from style_transfer_tpu.ops.pallas import conv_gram as CG
+    from style_transfer_tpu.ops.pallas import conv_pair as CP
+    from style_transfer_tpu.ops.pallas import conv_single as CSG
+    from style_transfer_tpu.ops.pallas import vmem as VM
+
+    monkeypatch.setattr(VM, "_mosaic", lambda: True)
+    cfg = _small_cfg(
+        use_fused=True, packed_block1=True, packed_block2=True,
+        packed_block3=True, packed_block4=True,
+        content_layers=("conv4_2",),
+        style_layers=("conv1_1", "conv2_1", "conv3_1", "conv4_1", "conv5_1"),
+    )
+    all_layers = tuple(
+        dict.fromkeys(list(cfg.content_layers) + list(cfg.style_layers))
+    )
+    obj = st._build_objective(
+        cfg,
+        c_weights=L.normalize_layer_weights(
+            cfg.content_layers, cfg.content_layer_weights
+        ),
+        s_weights=L.normalize_layer_weights(
+            cfg.style_layers, cfg.style_layer_weights
+        ),
+        all_layers=all_layers,
+        gram_fn=st._gram_fn(cfg),
+        loss_fns=st._loss_fns(cfg),
+        fused_b1=False, packed_b1=True, packed_b2=True,
+        packed_b3=True, packed_b4=True,
+    )
+
+    events = []
+
+    def _spy(tag, real):
+        return lambda *a, **kw: events.append(tag) or real(*a, **kw)
+
+    monkeypatch.setattr(B1P, "block1_packed", _spy("b1", B1P.block1_packed))
+    monkeypatch.setattr(
+        CSG, "make_pair_of_singles", _spy("seg", CSG.make_pair_of_singles)
+    )
+    monkeypatch.setattr(CP, "pair_gram", _spy("seg", CP.pair_gram))
+    monkeypatch.setattr(CP, "pair_pool", _spy("seg", CP.pair_pool))
+    monkeypatch.setattr(B2F, "block2_fused", _spy("seg", B2F.block2_fused))
+    monkeypatch.setattr(CG, "conv_gram", _spy("cg", CG.conv_gram))
+
+    def _no_xla_fallback(*a, **kw):
+        raise AssertionError(
+            "objective fell back to extract_features while the mirror "
+            "promised full-chain dispatch"
+        )
+
+    monkeypatch.setattr(vgg_mod, "extract_features", _no_xla_fallback)
+
+    H = W = 4096
+    assert api_mod._full_chain_dispatches(
+        H, W, packed=(True, True, True, True), all_layers=all_layers,
+        n_dev=None,
+    )
+    img = jax.ShapeDtypeStruct((1, H, W, 3), np.float32)
+    c_t = {"conv4_2": jax.ShapeDtypeStruct((1, H // 8, W // 8, 512), np.float32)}
+    s_t = {
+        l: jax.ShapeDtypeStruct((c, c), np.float32)
+        for l, c in (("conv1_1", 64), ("conv2_1", 128), ("conv3_1", 256),
+                     ("conv4_1", 512), ("conv5_1", 512))
+    }
+    loss, terms = jax.eval_shape(obj, st.params, img, c_t, s_t)
+    assert loss.shape == ()
+    assert events.count("b1") == 1, events
+    # blocks 2, 3 (two segments), 4 (front + tail) = 5 two-conv segments
+    assert events.count("seg") == 5, events
+    assert events.count("cg") == 1, events
+
+
 def test_packed_block4_tail_skipped_when_tail_layer_requested(st, images):
     """A block-4-tail feature layer (conv4_4) forces the front-pair-only
     path (tail activations must materialize in XLA); the result still

@@ -114,23 +114,49 @@ def test_misaligned_widths_stay_on_xla():
     restores the ~3 s compile. Every gate therefore requires
     w % 16 == 0; the realistic trigger is a non-32-multiple user size —
     e.g. 1300px puts block 2 at w=650 — which must fall back to XLA
-    instead of crashing in compile."""
+    instead of crashing in compile. The misalignment pathology is a
+    Mosaic (hardware compile) property, so these pins pass ``tpu=True``
+    explicitly — off-TPU the gates skip the alignment check (interpret
+    mode, next test)."""
     # the probe's three widths, at the probe's channels
-    assert not VM.pair_fits(260, 64, 128, pool=True, gram=True)
-    assert not VM.pair_fits(264, 64, 128, pool=True, gram=True)
-    assert VM.pair_fits(272, 64, 128, pool=True, gram=True)
+    assert not VM.pair_fits(260, 64, 128, pool=True, gram=True, tpu=True)
+    assert not VM.pair_fits(264, 64, 128, pool=True, gram=True, tpu=True)
+    assert VM.pair_fits(272, 64, 128, pool=True, gram=True, tpu=True)
     # singles compiled at 260 but at ~17 s/direction/kernel: gated too
-    assert not VM.single_fits(260, 64, 128, pool=False, gram=True)
-    assert VM.single_fits(272, 64, 128, pool=False, gram=True)
+    assert not VM.single_fits(260, 64, 128, pool=False, gram=True, tpu=True)
+    assert VM.single_fits(272, 64, 128, pool=False, gram=True, tpu=True)
     # a 1300px stylization: every fused entry point declines
-    assert VM.segment_impl(650, 64, 128, pool=True, gram=True) is None
-    assert not VM.block1_fits(1300)
-    assert not VM.conv_gram_fits(1300 // 16, 512)
+    assert VM.segment_impl(650, 64, 128, pool=True, gram=True, tpu=True) is None
+    assert not VM.block1_fits(1300, tpu=True)
+    assert not VM.conv_gram_fits(1300 // 16, 512, tpu=True)
     # aligned non-power-of-two sizes keep the fused path (1536/2560px)
-    assert VM.block1_fits(1536)
-    assert VM.segment_impl(768, 64, 128, pool=True, gram=True) is not None
-    assert VM.segment_impl(1280, 64, 128, pool=True, gram=True) is not None
-    assert VM.conv_gram_fits(1536 // 16, 512)
+    assert VM.block1_fits(1536, tpu=True)
+    assert VM.segment_impl(768, 64, 128, pool=True, gram=True, tpu=True) is not None
+    assert VM.segment_impl(1280, 64, 128, pool=True, gram=True, tpu=True) is not None
+    assert VM.conv_gram_fits(1536 // 16, 512, tpu=True)
+
+
+def test_alignment_gate_scoped_to_mosaic_compiles():
+    """Round-5 fix: the sublane-alignment gate models a Mosaic-on-TPU
+    compile pathology; in interpret mode (any non-TPU backend — this
+    suite runs on CPU) there is no Mosaic compile, so the same off-grid
+    widths must stay dispatchable. This is what lets the kernel tests
+    force packed dispatch on their 48-wide fixtures (packed block-1
+    width 24, off the 16 grid) — the round-4 end-of-round regression
+    gated those too and silently skipped the forced dispatch."""
+    assert VM._mosaic() is False  # suite contract: CPU backend
+    # auto-detection (tpu=None) on CPU: alignment waived, eff gates kept
+    assert VM.pair_fits(260, 64, 128, pool=True, gram=True)
+    assert VM.single_fits(260, 64, 128, pool=False, gram=True)
+    assert VM.block1_fits(48)  # the regression's exact fixture width
+    assert VM.segment_impl(24, 64, 128, pool=True, gram=True) == "pair"
+    assert VM.conv_gram_fits(250, 512)  # eff 2000 in-envelope, off-grid w
+    # explicit tpu=False matches auto-detection off-TPU
+    assert VM.pair_fits(264, 64, 128, pool=True, gram=True, tpu=False)
+    # the eff envelope still applies in interpret mode (impl choice
+    # must mirror TPU dispatch so CPU tests exercise the same paths)
+    assert VM.segment_impl(4096, 64, 128, pool=True, gram=True) is None
+    assert VM.segment_impl(1024, 64, 128, pool=True, gram=True) == "singles"
 
 
 def test_tile_is_always_even():
