@@ -37,6 +37,7 @@ from style_transfer_tpu.models.weights import random_fixture
 from style_transfer_tpu.ops import losses as L
 from style_transfer_tpu.optim import OptimizerSpec, make_step_fn
 from style_transfer_tpu.parallel import mesh as mesh_mod
+from style_transfer_tpu import schedule as schedule_mod
 from style_transfer_tpu.schedule import build_plan, chunk_lengths
 from style_transfer_tpu.utils import imgio
 from style_transfer_tpu.utils.ckpt import flatten_opt_state, restore_opt_state
@@ -160,6 +161,19 @@ class StylizeConfig:
     # than the rematerialized step). Measured remat cost at 1024px was
     # ~+22% step time, so smaller scales keep the stored-activation path.
     remat: Optional[bool] = None
+
+    # Snap the scale ladder onto the fused Pallas kernel grid (W on the
+    # 32/64/128/256 sublane grids, H on 16 — schedule.snap_to_fused_grid):
+    # an off-grid size (e.g. 1360 px) otherwise silently loses the whole
+    # ~2-3x kernel tier to the XLA fallback (the kernels' compile envelope
+    # only holds on the 16-row sublane grid, ops/pallas/vmem.py). Only the
+    # sizes the OPTIMIZER runs at change (by at most SNAP_TOLERANCE = 4%);
+    # the delivered image is always resized back to the exact requested
+    # size on device. None = auto: on for TPU runs with use_fused; False
+    # keeps exact sizes everywhere (a warning names the nearest fused
+    # size when that costs the kernel tier); True forces snapping off-TPU
+    # (tests).
+    grid_snap: Optional[bool] = None
 
     # Background-compile later scales' programs (worker threads) while the
     # current scale optimizes; hand-over happens through the persistent
@@ -1072,17 +1086,24 @@ class StyleTransfer:
         # ---- the multi-scale loop (SURVEY.md section 3.1 outer loop)
 
         requested_size = cfg.end_size(content_t.shape[1:3])
+        grid_snap = cfg.grid_snap
+        if grid_snap is None:
+            grid_snap = cfg.use_fused and jax.default_backend() == "tpu"
         plan = build_plan(
             requested_size,
             cfg.iterations,
             min_scale=cfg.min_scale,
             factor=cfg.scale_factor,
+            grid_snap=grid_snap,
         )
         # Odd sizes are rounded to even (VGG's five 2x pooling stages). Warn
         # when the rounding changes what the user explicitly asked for: both
         # dims of a (H, W) request, or the long side of an integer request
         # (the aspect-derived short side was never explicitly requested).
-        delivered = plan[-1].size
+        delivered = (
+            schedule_mod._round_even(requested_size[0]),
+            schedule_mod._round_even(requested_size[1]),
+        )
         explicitly_changed = (
             delivered != tuple(requested_size)
             if not isinstance(cfg.size, int)
@@ -1092,6 +1113,32 @@ class StyleTransfer:
             warnings.warn(
                 f"requested output size {tuple(requested_size)} rounded to "
                 f"{delivered} (sizes are rounded to even for VGG pooling)",
+                stacklevel=2,
+            )
+        if plan[-1].size != delivered:
+            # grid_snap moved the ladder onto the fused kernel grid: the
+            # optimizer runs at the snapped sizes (<= 4% change) and the
+            # result is resized back to the exact requested size below.
+            warnings.warn(
+                f"scale sizes snapped to the fused kernel grid (final "
+                f"optimize at {plan[-1].size}, output resized to "
+                f"{delivered}); pass grid_snap=False for exact-size "
+                f"optimization on the XLA path",
+                stacklevel=2,
+            )
+        elif (
+            not grid_snap
+            and cfg.use_fused
+            and jax.default_backend() == "tpu"
+            and schedule_mod.snap_to_fused_grid(delivered) != delivered
+        ):
+            warnings.warn(
+                f"size {delivered} is off the fused kernel grid (W % 32/64/"
+                f"128 for blocks 1-2/3/4 — ops/pallas/vmem.py): the Pallas "
+                f"kernel tier falls back to XLA (~2-3x slower). Nearest "
+                f"fused-friendly size: "
+                f"{schedule_mod.snap_to_fused_grid(delivered)}; or pass "
+                f"grid_snap=True to snap automatically",
                 stacklevel=2,
             )
         key = jax.random.PRNGKey(cfg.seed)
@@ -1416,6 +1463,11 @@ class StyleTransfer:
                     _process(queue.popleft())
 
             result = ema if cfg.avg_decay > 0 else image
+            if tuple(result.shape[1:3]) != delivered:
+                # grid_snap optimized at a fused-grid size: restore the
+                # exact requested size on device (lanczos3, same resampler
+                # as every inter-scale upsample).
+                result = upsample(result, size=delivered)
             if output_dtype == "uint8":
                 final = np.asarray(jax.device_get(imgio.quantize_u8(result)))
             else:

@@ -137,6 +137,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="EXPERIMENTAL: run VGG block 1 through the round-2 "
                         "fused Pallas kernel (measured slower in the full "
                         "step on v5e — see ARCHITECTURE.md)")
+    g.add_argument("--grid-snap", choices=["auto", "on", "off"], default="auto",
+                   help="snap the scale ladder onto the fused Pallas kernel "
+                        "grid (W%%32/64/128 keeps blocks 1-2/3/4 fused) when "
+                        "the requested size is off-grid; the optimizer runs "
+                        "at the snapped sizes (<=4%% change) and the output "
+                        "is resized back to the exact requested size (auto: "
+                        "on for TPU runs unless --unfused)")
     g.add_argument("--chunk-size", type=int, default=50,
                    help="optimizer steps per device dispatch / host sync")
     g.add_argument("--print-every", type=int, default=25)
@@ -292,6 +299,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         packed_block3={"auto": None, "on": True, "off": False}[args.packed_block3],
         packed_block4={"auto": None, "on": True, "off": False}[args.packed_block4],
         fused_block1=args.fused_block1,
+        grid_snap={"auto": None, "on": True, "off": False}[args.grid_snap],
         pipeline_chunks=False if args.no_pipeline else None,
         debug_checks=args.debug_checks,
         remat={"auto": None, "on": True, "off": False}[args.remat],

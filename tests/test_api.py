@@ -942,3 +942,27 @@ def test_full_chain_predicate_mesh_rows():
     # pool3 rows (h//8 = 32) shard to 4 rows/device: halo still ok at 4,
     # but 16 rows -> 2 rows/device is below the 4-row halo
     assert not api._full_chain_dispatches(128, 4096, n_dev=8, **kw)
+
+
+def test_grid_snap_restores_exact_requested_size(st, images):
+    """grid_snap=True optimizes at fused-grid sizes but the delivered
+    image is the EXACT (even-rounded) requested size, restored by a final
+    on-device resize; a snap warning names both sizes. 100px requests a
+    96px optimize (32-grid within the 4% tolerance)."""
+    import warnings as w
+
+    content, style = images
+    cfg = _small_cfg(size=(100, 100), min_scale=100, iterations=(2,),
+                     grid_snap=True)
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        out = st.stylize(content, style, cfg)
+    assert out.shape == (100, 100, 3)
+    assert any("snapped to the fused kernel grid" in str(x.message) for x in rec)
+    # default (auto) on CPU: no snapping, no snap warning, same shape
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        out2 = st.stylize(content, style, _small_cfg(
+            size=(100, 100), min_scale=100, iterations=(2,)))
+    assert out2.shape == (100, 100, 3)
+    assert not any("fused kernel grid" in str(x.message) for x in rec)
