@@ -1126,7 +1126,27 @@ class StyleTransfer:
                 f"optimization on the XLA path",
                 stacklevel=2,
             )
-        elif (
+        if (
+            self.pooling != "average"
+            and cfg.use_fused
+            and jax.default_backend() == "tpu"
+            and cfg.packed_block1 is not False
+        ):
+            # The fused VGG chain's kernels implement average pooling only
+            # (the 2x2 row-pair mean folds into the conv epilogues;
+            # api._block1_structurally_eligible): max pooling runs the XLA
+            # path. Say so — a user benchmarking --pooling max would
+            # otherwise conclude the framework is ~2-3x slower than
+            # advertised with no hint why.
+            warnings.warn(
+                f"pooling={self.pooling!r} disables the fused Pallas VGG "
+                f"chain (its kernels fold 2x2 AVERAGE pooling into the conv "
+                f"epilogues); this run uses the XLA path, ~2-3x slower at "
+                f"the kernel tier. Use pooling='average' (the reference "
+                f"default) for full speed",
+                stacklevel=2,
+            )
+        if (
             not grid_snap
             and cfg.use_fused
             and jax.default_backend() == "tpu"

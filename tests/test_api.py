@@ -966,3 +966,34 @@ def test_grid_snap_restores_exact_requested_size(st, images):
             size=(100, 100), min_scale=100, iterations=(2,)))
     assert out2.shape == (100, 100, 3)
     assert not any("fused kernel grid" in str(x.message) for x in rec)
+
+
+def test_max_pooling_warns_about_fused_chain(st, images, monkeypatch):
+    """pooling='max' structurally disqualifies the fused VGG chain (the
+    kernels fold 2x2 AVERAGE pooling into their conv epilogues), so a TPU
+    run must say it is on the XLA path instead of silently losing the
+    kernel tier (VERDICT r4 item 6)."""
+    import warnings as w
+
+    import jax
+
+    from style_transfer_tpu import api as api_mod
+
+    monkeypatch.setattr(api_mod.jax, "default_backend", lambda: "tpu")
+    content, style = images
+    st_max = StyleTransfer(params=st.params, pooling="max")
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        out = st_max.stylize(content, style, _small_cfg(
+            use_fused=True, iterations=(2,)))
+    assert np.isfinite(out).all()
+    assert any("disables the fused Pallas VGG chain" in str(x.message)
+               for x in rec)
+    # average pooling at the same config: no such warning (packed dispatch
+    # disabled — the patched "tpu" backend would otherwise route the
+    # kernels through the real Mosaic lowering, which CPU cannot run)
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        st.stylize(content, style, _small_cfg(
+            use_fused=True, iterations=(2,), packed_block1=False))
+    assert not any("disables the fused" in str(x.message) for x in rec)
