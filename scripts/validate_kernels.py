@@ -39,8 +39,16 @@ def main(argv=None) -> int:
                    help="image long sides; each kernel runs at its natural "
                         "block shape for that size")
     p.add_argument("--blocks", nargs="+",
-                   default=["b1", "b2", "b3", "b4", "cg", "s2", "s3", "s4"],
-                   choices=["b1", "b2", "b3", "b4", "cg", "s2", "s3", "s4"])
+                   default=["b1", "b2", "b3", "b4", "cg", "s2", "s3", "s4",
+                            "gt"],
+                   choices=["b1", "b2", "b3", "b4", "cg", "s2", "s3", "s4",
+                            "gt"])
+    p.add_argument("--height", type=int, default=None,
+                   help="override the IMAGE height (width keeps the "
+                        "size-derived natural value; each kernel still "
+                        "halves both per block). Lets misaligned-width "
+                        "cases be probed at production heights instead of "
+                        "only at the width-coupled square shape")
     p.add_argument("--force-gated", action="store_true",
                    help="compile even the cases the vmem gate excludes "
                         "(expected to fail; probes the envelope edge)")
@@ -172,11 +180,15 @@ def main(argv=None) -> int:
             # (pair@264: 504 s) that CONFIRM the gate.
             log(f"size {size}: NOTE sub-block widths are off the 16-row "
                 "sublane grid; gates keep those cases on XLA")
-        log(f"== image size {size} ==")
+        height = args.height or size
+        if args.height:
+            log(f"== image size {size} (height override {height}) ==")
+        else:
+            log(f"== image size {size} ==")
         if "b1" in args.blocks:
             k1, b1 = w(3, 64, 0.2)
             k2, b2 = w(64, 64, 0.1)
-            x = jnp.asarray(r.randn(1, size, size, 3).astype(np.float32) * 0.3).astype(dt)
+            x = jnp.asarray(r.randn(1, height, size, 3).astype(np.float32) * 0.3).astype(dt)
 
             def xla_b1(x, k1=k1, b1=b1, k2=k2, b2=b2):
                 y1 = jax.nn.relu(V._conv(x, k1, b1))
@@ -191,7 +203,7 @@ def main(argv=None) -> int:
             k1, b1 = w(64, 128)
             k2, b2 = w(128, 128)
             s = size // 2
-            x = jnp.asarray(r.randn(1, s, s, 64).astype(np.float32) * 0.3).astype(dt)
+            x = jnp.asarray(r.randn(1, height // 2, s, 64).astype(np.float32) * 0.3).astype(dt)
 
             def xla_b2(x, k1=k1, b1=b1, k2=k2, b2=b2):
                 y1 = jax.nn.relu(V._conv(x, k1, b1))
@@ -207,7 +219,7 @@ def main(argv=None) -> int:
             k1, b1 = w(64, 128)
             k2, b2 = w(128, 128)
             s = size // 2
-            x = jnp.asarray(r.randn(1, s, s, 64).astype(np.float32) * 0.3).astype(dt)
+            x = jnp.asarray(r.randn(1, height // 2, s, 64).astype(np.float32) * 0.3).astype(dt)
 
             def xla_s2(x, k1=k1, b1=b1, k2=k2, b2=b2):
                 y1 = jax.nn.relu(V._conv(x, k1, b1))
@@ -226,7 +238,7 @@ def main(argv=None) -> int:
             k1, b1 = w(128, 256)
             k2, b2 = w(256, 256)
             s = size // 4
-            x = jnp.asarray(r.randn(1, s, s, 128).astype(np.float32) * 0.3).astype(dt)
+            x = jnp.asarray(r.randn(1, height // 4, s, 128).astype(np.float32) * 0.3).astype(dt)
 
             def xla_p(x, k1=k1, b1=b1, k2=k2, b2=b2):
                 y1 = jax.nn.relu(V._conv(x, k1, b1))
@@ -241,7 +253,7 @@ def main(argv=None) -> int:
             k1, b1 = w(128, 256)
             k2, b2 = w(256, 256)
             s = size // 4
-            x = jnp.asarray(r.randn(1, s, s, 128).astype(np.float32) * 0.3).astype(dt)
+            x = jnp.asarray(r.randn(1, height // 4, s, 128).astype(np.float32) * 0.3).astype(dt)
 
             def xla_s3(x, k1=k1, b1=b1, k2=k2, b2=b2):
                 y1 = jax.nn.relu(V._conv(x, k1, b1))
@@ -259,7 +271,7 @@ def main(argv=None) -> int:
             k1, b1 = w(512, 512, 0.02)
             k2, b2 = w(512, 512, 0.02)
             s = size // 8
-            x = jnp.asarray(r.randn(1, s, s, 512).astype(np.float32) * 0.3).astype(dt)
+            x = jnp.asarray(r.randn(1, height // 8, s, 512).astype(np.float32) * 0.3).astype(dt)
 
             def xla_pp(x, k1=k1, b1=b1, k2=k2, b2=b2):
                 y1 = jax.nn.relu(V._conv(x, k1, b1))
@@ -274,7 +286,7 @@ def main(argv=None) -> int:
             k1, b1 = w(512, 512, 0.02)
             k2, b2 = w(512, 512, 0.02)
             s = size // 8
-            x = jnp.asarray(r.randn(1, s, s, 512).astype(np.float32) * 0.3).astype(dt)
+            x = jnp.asarray(r.randn(1, height // 8, s, 512).astype(np.float32) * 0.3).astype(dt)
 
             def xla_s4(x, k1=k1, b1=b1, k2=k2, b2=b2):
                 y1 = jax.nn.relu(V._conv(x, k1, b1))
@@ -291,7 +303,7 @@ def main(argv=None) -> int:
         if "cg" in args.blocks:
             k1, b1 = w(512, 512, 0.02)
             s = size // 16
-            x = jnp.asarray(r.randn(1, s, s, 512).astype(np.float32) * 0.3).astype(dt)
+            x = jnp.asarray(r.randn(1, height // 16, s, 512).astype(np.float32) * 0.3).astype(dt)
 
             def xla_cg(x, k1=k1, b1=b1):
                 return (jnp.zeros((0,)),  # no activation output
@@ -300,6 +312,28 @@ def main(argv=None) -> int:
             all_ok &= case("conv_gram(5_1)", size,
                            lambda x: (jnp.zeros((0,)), CG.conv_gram(x, k1, b1)),
                            xla_cg, x, fits=VM.conv_gram_fits(s, 512))
+            del x
+
+        if "gt" in args.blocks:
+            # the W-chunked conv5_1 Gram tail (conv_single.gram_tail):
+            # covers eff 2048..4096 where conv_gram's envelope ends —
+            # an 8192px run's conv5_1 is its natural shape
+            k1, b1 = w(512, 512, 0.02)
+            s = size // 16
+            x = jnp.asarray(
+                r.randn(1, height // 16, s, 512).astype(np.float32) * 0.3
+            ).astype(dt)
+
+            def xla_gt(x, k1=k1, b1=b1):
+                return (jnp.zeros((0,)),
+                        L.gram_matrix(jax.nn.relu(V._conv(x, k1, b1))))
+
+            all_ok &= case(
+                "gram_tail(5_1)", size,
+                lambda x: (jnp.zeros((0,)), CS.gram_tail(x, k1, b1)),
+                xla_gt, x,
+                fits=VM.gram_tail_impl(s, 512) is not None,
+            )
             del x
 
     log("ALL OK" if all_ok else "FAILURES — see JSON records above")

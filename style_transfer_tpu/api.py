@@ -823,11 +823,12 @@ class StyleTransfer:
                 # that Gram directly from streamed conv rows and the ENTIRE
                 # VGG forward+backward runs in Pallas (no XLA conv remains
                 # to be re-tiled at the custom-call seam).
+                cg_impl = VM.gram_tail_impl(handoff.shape[2], 512)
                 if (
                     deeper == ("conv5_1",)
                     and start_block == 5
                     and "conv5_1" not in c_weights
-                    and VM.conv_gram_fits(handoff.shape[2], 512)
+                    and cg_impl is not None
                     and (
                         self.mesh is None
                         or (
@@ -836,15 +837,27 @@ class StyleTransfer:
                         )
                     )
                 ):
-                    from style_transfer_tpu.ops.pallas import conv_gram as CG
+                    if cg_impl == "conv_gram":
+                        from style_transfer_tpu.ops.pallas import conv_gram as CG
 
-                    cg_fn = (
-                        CG.conv_gram
-                        if self.mesh is None
-                        else CG.make_sharded_conv_gram(
-                            self.mesh, mesh_mod.SPATIAL_AXIS
+                        cg_fn = (
+                            CG.conv_gram
+                            if self.mesh is None
+                            else CG.make_sharded_conv_gram(
+                                self.mesh, mesh_mod.SPATIAL_AXIS
+                            )
                         )
-                    )
+                    else:
+                        # beyond conv_gram's envelope (eff > 2048 — the
+                        # 8192px scale's conv5_1): the W-chunked single
+                        # kernel computes the same Gram (vmem.gram_tail_impl)
+                        cg_fn = (
+                            CSG.gram_tail
+                            if self.mesh is None
+                            else CSG.make_sharded_gram_tail(
+                                self.mesh, mesh_mod.SPATIAL_AXIS
+                            )
+                        )
                     w51 = params["conv5_1"]
                     gram_overrides["conv5_1"] = ckpt(cg_fn)(
                         handoff, w51["kernel"], w51["bias"]

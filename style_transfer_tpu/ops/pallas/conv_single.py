@@ -375,6 +375,31 @@ single_gram = make_conv_single(pool=False, gram=True)
 single_pool = make_conv_single(pool=True, gram=False)
 
 
+def gram_tail(x, k, b):
+    """W-chunked conv+Gram: ``conv_gram.py``'s contract — (1, H, W, Cin)
+    -> (Cout, Cout) fp32 Gram of relu(conv(x)+b), input gradient only —
+    delivered by the single kernel with the activation output discarded.
+    ``conv_gram.py`` has no W-chunked form, so its envelope ends at
+    eff = w*cout/64 = 2048 (an 8192px run's conv5_1 sits at eff 4096);
+    the single kernel W-chunks its fp32 tap accumulators and covers
+    eff <= 4096 (``vmem.single_fits``). The discarded activation costs
+    nothing extra: with ``pool=False`` the output IS the backward
+    residual the kernel writes anyway, and its zero cotangent folds into
+    the backward's Gram term."""
+    return single_gram(x, k, b)[1]
+
+
+def make_sharded_gram_tail(mesh, axis: str):
+    """:func:`gram_tail` on a 1-D spatial mesh (the W-chunked analogue of
+    ``conv_gram.make_sharded_conv_gram``)."""
+    fn = make_sharded_single(mesh, axis, pool=False, gram=True)
+
+    def sharded_gram_tail(x, k, b):
+        return fn(x, k, b)[1]
+
+    return sharded_gram_tail
+
+
 def make_pair_of_singles(*, pool: bool, gram: bool, mesh=None, axis=None):
     """A drop-in for ``conv_pair.make_conv_pair`` built from two single
     kernels — same signature ``f(x, k1, b1, k2, b2)``, same outputs

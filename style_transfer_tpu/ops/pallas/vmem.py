@@ -35,11 +35,16 @@ pair        260,   64, 128          520  FAIL 20.20M  --
 pair        264,   64, 128          528  ok (504 s!)  ok (3.7 s)
 pair        272,   64, 128          544  ok (2.8 s)   ok (2.9 s)
 single      260,   64, 128 (gram)   520  ok (16.9 s)  ok (17.3 s)
+pair        264@h512, 64, 128       528  ok (102 s)   ok
+single      264@h512, 64, 128       528  ok (156 s)   ok
 block1      w2=2048 (4096px)       4096  ok           FAIL 17.79M
 block1      w2<=1024               2048  ok           ok
 conv_gram   256, 512, 512          2048  ok           ok
+conv_gram   512, 512, 512          4096  ok (127 s)   ok
 single      every probed shape,    4096  ok           ok
             eff <= 4096
+single      2048, 128, 256 (8K b3) 8192  FAIL 20.00M  --
+single      1024, 512, 512 (8K b4) 8192  FAIL 16.50M  --
 ==========  =====================  ====  ===========  ===========
 
 **Sublane alignment is part of the envelope.** The three 260/264/272
@@ -49,6 +54,15 @@ so Mosaic tiles it in 16-row bf16 sublanes) make both the VMEM peak and
 the compile time unpredictable — at w=260 a shape whose eff (520) sits
 at a QUARTER of the pair envelope fails scoped VMEM at 20.20M, and at
 w=264 (8-multiple but not 16) the forward compiles for 504 seconds.
+The round-5 ``@h512`` rows re-probe w=264 at a production height (the
+block-2 1024px-ladder height): there the kernels compile CORRECTLY and
+run faster than XLA (pair 1.32x, singles 1.11x — VALIDATE_r05), but
+compile time stays pathological (102 s and 156 s vs ~3 s aligned), so
+the verdict is unchanged: misaligned widths stay off the kernels — a
+multi-scale ladder would pay minutes of unpredictable Mosaic compile
+per kernel per scale — and ``schedule.snap_to_fused_grid`` moves the
+ladder onto the grid instead, where both the speed and the ~3 s
+compiles are guaranteed.
 Only w % 16 == 0 restores both the measured envelope and sane (~3 s)
 compile times, so every gate below requires ``_aligned(w)``; misaligned
 widths (e.g. the w=650 block-2 segment of a 1300px stylization) fall
@@ -236,10 +250,25 @@ def block1_fits(w_img: int, tpu: bool | None = None) -> bool:
 def conv_gram_fits(w: int, cout: int, tpu: bool | None = None) -> bool:
     """True when the fused conv+Gram kernel (``conv_gram.py``) compiles
     at this shape in both directions (validated at eff 2048 = the
-    4096px scale's conv5_1; it has no W-chunked form, so wider shapes
-    stay on the XLA path). Sublane-aligned widths only, like every
+    4096px scale's conv5_1; it has no W-chunked form — beyond it the
+    dispatch decomposes to the W-chunked single kernel, see
+    :func:`gram_tail_impl`). Sublane-aligned widths only, like every
     gate (module docstring)."""
     return _aligned(w, tpu) and _eff(w, cout) <= PAIR_EFF_LIMIT
+
+
+def gram_tail_impl(w: int, cout: int, tpu: bool | None = None):
+    """Implementation choice for a Gram-only conv tail (conv5_1 when it
+    is the sole remaining style layer): ``'conv_gram'`` (the fused
+    conv+Gram kernel, ``conv_gram.py``) inside its envelope,
+    ``'single'`` (the W-chunked single kernel with the activation
+    discarded, ``conv_single.gram_tail``) beyond it — an 8192px run's
+    conv5_1 (w=512, eff 4096) lands there — or ``None`` (XLA)."""
+    if conv_gram_fits(w, cout, tpu):
+        return "conv_gram"
+    if single_fits(w, cout, cout, pool=False, gram=True, tpu=tpu):
+        return "single"
+    return None
 
 
 # --------------------------------------------------------- byte estimators

@@ -279,3 +279,48 @@ def test_sharded_single_shape_gate(mesh8):
         fn(jnp.zeros((1, 24, 16, 64)), k, b)  # h_l = 3: odd
     with pytest.raises(ValueError, match="sharded conv single"):
         fn(jnp.zeros((1, 8, 16, 64)), k, b)  # h_l = 1 < halo
+
+
+def test_gram_tail_matches_conv_gram_and_oracle():
+    """conv_single.gram_tail is the W-chunked replacement for conv_gram
+    beyond its envelope (an 8192px run's conv5_1): same Gram, same input
+    gradient, zero weight cotangents."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from style_transfer_tpu.models import vgg as V
+    from style_transfer_tpu.ops import losses as L
+    from style_transfer_tpu.ops.pallas import conv_gram as CG
+    from style_transfer_tpu.ops.pallas import conv_single as CS
+
+    r = np.random.RandomState(0)
+    x = jnp.asarray(r.randn(1, 12, 16, 32).astype(np.float32) * 0.3)
+    k = jnp.asarray(r.randn(3, 3, 32, 64).astype(np.float32) * 0.05)
+    b = jnp.asarray(r.randn(64).astype(np.float32) * 0.1)
+
+    def loss(f):
+        return lambda x: jnp.sum(f(x, k, b) ** 2)
+
+    def oracle(x, k, b):
+        return L.gram_matrix(jax.nn.relu(V._conv(x, k, b)))
+
+    v_t, d_t = jax.value_and_grad(loss(CS.gram_tail))(x)
+    v_c, d_c = jax.value_and_grad(loss(CG.conv_gram))(x)
+    v_o, d_o = jax.value_and_grad(loss(oracle))(x)
+    np.testing.assert_allclose(float(v_t), float(v_o), rtol=1e-5)
+    np.testing.assert_allclose(float(v_t), float(v_c), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(d_t), np.asarray(d_o),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_gram_tail_impl_gate():
+    """vmem.gram_tail_impl: conv_gram inside its envelope, the W-chunked
+    single beyond it (8192px conv5_1: w=512, eff 4096), XLA past both."""
+    from style_transfer_tpu.ops.pallas import vmem as VM
+
+    assert VM.gram_tail_impl(256, 512, tpu=True) == "conv_gram"  # 4096px
+    assert VM.gram_tail_impl(512, 512, tpu=True) == "single"     # 8192px
+    assert VM.gram_tail_impl(1024, 512, tpu=True) is None        # 16384px
+    assert VM.gram_tail_impl(250, 512, tpu=True) is None         # off-grid
+    assert VM.gram_tail_impl(250, 512, tpu=False) == "conv_gram" # interpret
