@@ -42,7 +42,7 @@ def main(argv=None) -> int:
                    default=["b1", "b2", "b3", "b4", "cg", "s2", "s3", "s4",
                             "gt"],
                    choices=["b1", "b2", "b3", "b4", "cg", "s2", "s3", "s4",
-                            "gt"])
+                            "gt", "w2", "w3", "w4"])
     p.add_argument("--height", type=int, default=None,
                    help="override the IMAGE height (width keeps the "
                         "size-derived natural value; each kernel still "
@@ -300,6 +300,46 @@ def main(argv=None) -> int:
                 and VM.single_fits(s, 512, 512, pool=True, gram=False),
             )
             del x
+        # ---- W-tiled (wide) segments: the eff > 4096 dispatch of the
+        # 5120..8192px ladders (vmem.wide_slices). Natural widths with a
+        # --height override keep HBM inside one chip while probing the
+        # full W the envelope extension is about.
+        def _wide_case(tag, shrink, cin, cmid, pool, gram, xla):
+            k1, b1 = w(cin, cmid, 0.05 if cmid <= 256 else 0.02)
+            k2, b2 = w(cmid, cmid, 0.05 if cmid <= 256 else 0.02)
+            s = size // shrink
+            x = jnp.asarray(
+                r.randn(1, height // shrink, s, cin).astype(np.float32) * 0.3
+            ).astype(dt)
+            fn = CS.make_wide_pair_of_singles(pool=pool, gram=gram)
+            nonlocal all_ok
+            all_ok &= case(
+                tag, size, lambda x: fn(x, k1, b1, k2, b2),
+                lambda x: xla(x, k1, b1, k2, b2), x,
+                fits=VM.segment_impl(s, cin, cmid, pool=pool, gram=gram)
+                == "wide",
+            )
+            del x
+
+        def _xla_pool_gram(x, k1, b1, k2, b2):
+            y1 = jax.nn.relu(V._conv(x, k1, b1))
+            return (V._pool(jax.nn.relu(V._conv(y1, k2, b2)), "average", None),
+                    L.gram_matrix(y1))
+
+        def _xla_gram(x, k1, b1, k2, b2):
+            y1 = jax.nn.relu(V._conv(x, k1, b1))
+            return jax.nn.relu(V._conv(y1, k2, b2)), L.gram_matrix(y1)
+
+        if "w2" in args.blocks:
+            _wide_case("wide(b2)", 2, 64, 128, True, True, _xla_pool_gram)
+        if "w3" in args.blocks:
+            _wide_case("wide(b3f)", 4, 128, 256, False, True, _xla_gram)
+        if "w4" in args.blocks:
+            _wide_case("wide(b4t)", 8, 512, 512, True, False,
+                       lambda x, k1, b1, k2, b2: V._pool(
+                           jax.nn.relu(V._conv(
+                               jax.nn.relu(V._conv(x, k1, b1)), k2, b2
+                           )), "average", None))
         if "cg" in args.blocks:
             k1, b1 = w(512, 512, 0.02)
             s = size // 16

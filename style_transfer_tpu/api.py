@@ -696,7 +696,13 @@ class StyleTransfer:
                     """Kernel callable for one two-conv segment, per the
                     vmem-gated implementation choice: the fused pair
                     inside its validated envelope, the singles
-                    decomposition beyond it."""
+                    decomposition beyond it, W-tiled singles beyond
+                    THAT (eff > 4096, the 5120..8192px ladders)."""
+                    if impl == "wide":
+                        return CSG.make_wide_pair_of_singles(
+                            pool=pool, gram=gram, mesh=self.mesh,
+                            axis=mesh_mod.SPATIAL_AXIS,
+                        )
                     if impl == "singles":
                         return CSG.make_pair_of_singles(
                             pool=pool, gram=gram, mesh=self.mesh,

@@ -62,7 +62,8 @@ def _interpret() -> bool:
 
 
 def _fwd_kernel(p_ref, pu_ref, pd_ref, k_ref, b_ref, off_ref, *refs,
-                w, true_h, pool, gram, gram_lo, gram_hi, nchunks):
+                w, true_h, pool, gram, gram_lo, gram_hi, gram_clo,
+                gram_chi, nchunks):
     i = pl.program_id(0)
     tile = p_ref.shape[0]
     it = iter(refs)
@@ -108,6 +109,12 @@ def _fwd_kernel(p_ref, pu_ref, pd_ref, k_ref, b_ref, off_ref, *refs,
         if gram_lo > 0 or gram_hi < (1 << 30):
             lrow = jax.lax.broadcasted_iota(jnp.int32, fr.shape, 0) + i * tile
             fr = jnp.where((lrow < gram_lo) | (lrow >= gram_hi), 0, fr)
+        if gram_clo > 0 or gram_chi < (1 << 30):
+            # W-tiled dispatch: halo COLUMNS are the neighbour slice's —
+            # only the owned local-column window contributes to the Gram
+            # (the row window's exact analogue on the W axis).
+            lcol = jax.lax.broadcasted_iota(jnp.int32, fr.shape, 1)
+            fr = jnp.where((lcol < gram_clo) | (lcol >= gram_chi), 0, fr)
         f = fr.reshape(tile * w, cout)
         acc_ref[:] += jax.lax.dot_general(
             f, f, (((0,), (0,)), ((), ())),
@@ -119,7 +126,7 @@ def _fwd_kernel(p_ref, pu_ref, pd_ref, k_ref, b_ref, off_ref, *refs,
             gram_ref[:] = acc_ref[:]
 
 
-def _bwd_kernel(*refs, w, true_h, pool, gram, nchunks):
+def _bwd_kernel(*refs, w, true_h, pool, gram, gram_clo, gram_chi, nchunks):
     """Input cotangent for one tile: [unpool ->] (+ Gram term) -> ReLU
     gate from the stored activation -> transposed taps.
 
@@ -127,6 +134,13 @@ def _bwd_kernel(*refs, w, true_h, pool, gram, nchunks):
     cotangent (pooled: center + 1-pooled-row halos, W-duplicated by the
     caller; un-pooled: center + 1-row halos), k, [S], the global row
     offset (SMEM), and the input-cotangent output ref.
+
+    ``gram_clo``/``gram_chi``: the forward's LOCAL-column Gram ownership
+    window (W-tiled dispatch). The forward Gram summed only owned
+    columns, so the ``S @ f`` term must vanish on halo columns here too —
+    the wide wrapper overlap-SUMS per-slice input cotangents (each
+    owned column's full dpre is computed exactly once, in its owner
+    slice), and an unmasked halo Gram term would be double-counted.
     """
     it = iter(refs)
     y_ref, yu_ref, yd_ref = next(it), next(it), next(it)
@@ -164,7 +178,14 @@ def _bwd_kernel(*refs, w, true_h, pool, gram, nchunks):
         yc = ye[:, c0 : c0 + cw]
         d = de[:, c0 : c0 + cw].astype(jnp.float32)
         if gram:
-            f = yc.reshape((tile + 2) * cw, cout)
+            yg = yc
+            if gram_clo > 0 or gram_chi < (1 << 30):
+                lcol = jax.lax.broadcasted_iota(jnp.int32, yc.shape, 1) + c0
+                yg = jnp.where(
+                    (lcol < gram_clo) | (lcol >= gram_chi),
+                    jnp.zeros_like(yc), yc,
+                )
+            f = yg.reshape((tile + 2) * cw, cout)
             d = d + jax.lax.dot_general(
                 f, s_ref[:], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -189,11 +210,13 @@ def _bwd_kernel(*refs, w, true_h, pool, gram, nchunks):
 
 
 def _fwd(x2d, k, b, true_h, pool, gram, off=None, gram_rows=None,
-         w_chunks=None):
+         w_chunks=None, gram_cols=None):
     """``off``/``gram_rows`` as in ``conv_pair._fwd``: the global row of
     array row 0 and the static local-row Gram ownership window for
-    halo-extended mesh shards. ``w_chunks`` overrides :func:`_w_chunks`
-    (tests)."""
+    halo-extended mesh shards. ``gram_cols`` is the same ownership window
+    on the LOCAL COLUMN axis, for the W-tiled dispatch
+    (:func:`make_wide_single`) whose slices carry halo columns.
+    ``w_chunks`` overrides :func:`_w_chunks` (tests)."""
     h, w, cin = x2d.shape
     cout = k.shape[3]
     tile = _tile_for(w, cout)
@@ -204,6 +227,7 @@ def _fwd(x2d, k, b, true_h, pool, gram, off=None, gram_rows=None,
         )
     dt = x2d.dtype
     gram_lo, gram_hi = gram_rows if gram_rows is not None else (0, 1 << 30)
+    gram_clo, gram_chi = gram_cols if gram_cols is not None else (0, 1 << 30)
     off_arr = jnp.reshape(jnp.asarray(0 if off is None else off, jnp.int32), (1,))
     center = lambda i: (i, 0, 0)
     out_specs = [
@@ -226,6 +250,7 @@ def _fwd(x2d, k, b, true_h, pool, gram, off=None, gram_rows=None,
     res = pl.pallas_call(
         functools.partial(_fwd_kernel, w=w, true_h=true_h, pool=pool,
                           gram=gram, gram_lo=gram_lo, gram_hi=gram_hi,
+                          gram_clo=gram_clo, gram_chi=gram_chi,
                           nchunks=nchunks),
         grid=(h // tile,),
         in_specs=[
@@ -252,9 +277,12 @@ def _fwd(x2d, k, b, true_h, pool, gram, off=None, gram_rows=None,
     return out, y, g
 
 
-def _bwd(y, k, d_out, s, true_h, pool, gram, off=None, w_chunks=None):
+def _bwd(y, k, d_out, s, true_h, pool, gram, off=None, w_chunks=None,
+         gram_cols=None):
     """``off`` as in :func:`_fwd`: the global row of array row 0, so the
-    edge masks hold in global coordinates for halo-extended mesh shards."""
+    edge masks hold in global coordinates for halo-extended mesh shards;
+    ``gram_cols`` as in :func:`_fwd` (the ``S @ f`` term is masked to the
+    owned columns, matching the forward's Gram window)."""
     h, w, cout = y.shape
     cin = k.shape[2]
     tile = _tile_for(w, cout, backward=True)
@@ -289,9 +317,11 @@ def _bwd(y, k, d_out, s, true_h, pool, gram, off=None, w_chunks=None):
         args.append(s.astype(dt))
     in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     args.append(off_arr)
+    gram_clo, gram_chi = gram_cols if gram_cols is not None else (0, 1 << 30)
     dx = pl.pallas_call(
         functools.partial(_bwd_kernel, w=w, true_h=true_h, pool=pool,
-                          gram=gram, nchunks=nchunks),
+                          gram=gram, gram_clo=gram_clo, gram_chi=gram_chi,
+                          nchunks=nchunks),
         grid=(h // tile,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tile, w, cin), center, memory_space=pltpu.VMEM),
@@ -306,7 +336,8 @@ def _bwd(y, k, d_out, s, true_h, pool, gram, off=None, w_chunks=None):
     return dx
 
 
-def make_conv_single(*, pool: bool, gram: bool, w_chunks=None):
+def make_conv_single(*, pool: bool, gram: bool, w_chunks=None,
+                     gram_cols=None):
     """Build a custom-VJP fused single conv with the given epilogues.
 
     Returned callable: ``f(x, k, b)`` with ``x`` (1, H, W, Cin), H and W
@@ -319,7 +350,10 @@ def make_conv_single(*, pool: bool, gram: bool, w_chunks=None):
     (the documented contract, pinned by tests/test_weight_grads.py — a
     caller training through this kernel sees exactly-zero weight
     gradients, not silent garbage). ``w_chunks`` forces the W-chunk
-    count (tests).
+    count (tests). ``gram_cols`` restricts the Gram to a LOCAL column
+    window (the W-tiled dispatch's ownership mask — see
+    :func:`make_wide_single`); the Gram stays normalized by the local
+    H*W, so the wide wrapper rescales.
     """
 
     @jax.custom_vjp
@@ -336,7 +370,8 @@ def make_conv_single(*, pool: bool, gram: bool, w_chunks=None):
         cout = k.shape[3]
         tile = _tile_for(w, cout)
         out, y, g = _fwd(
-            _pad_rows(x[0], tile), k, b, h, pool, gram, w_chunks=w_chunks
+            _pad_rows(x[0], tile), k, b, h, pool, gram, w_chunks=w_chunks,
+            gram_cols=gram_cols,
         )
         out = out[None, : h // 2] if pool else out[None, :h]
         if gram:
@@ -358,7 +393,8 @@ def make_conv_single(*, pool: bool, gram: bool, w_chunks=None):
         if y.shape[0] != h:
             pad = y.shape[0] - h
             dq = jnp.pad(dq, ((0, pad // 2 if pool else pad), (0, 0), (0, 0)))
-        dx = _bwd(y, k, dq, s, h, pool, gram, w_chunks=w_chunks)
+        dx = _bwd(y, k, dq, s, h, pool, gram, w_chunks=w_chunks,
+                  gram_cols=gram_cols)
         cout = k.shape[3]
         return dx[None, :h], jnp.zeros_like(k), jnp.zeros((cout,), k.dtype)
 
@@ -426,6 +462,113 @@ def make_pair_of_singles(*, pool: bool, gram: bool, mesh=None, axis=None):
     return pair
 
 
+# ------------------------------------------------------- W-tiled dispatch
+
+
+def make_wide_single(*, pool: bool, gram: bool, mesh=None, axis=None,
+                     slices=None):
+    """A single conv W-TILED at the JAX level — coverage beyond the
+    single kernel's eff-4096 scoped-VMEM envelope (the 5120..8192px
+    ladders' block shapes, which the probe table in ``vmem.py`` shows
+    failing at 16.5-20 MB).
+
+    Same contract as :func:`make_conv_single`. W splits into
+    ``vmem.wide_slices`` slices of ``vmem.wide_owned`` owned columns,
+    each extended by ``vmem.WIDE_HALO`` halo columns per side (zero at
+    true image edges, where zero IS the conv's SAME padding; the tail
+    slice's grid-rounding surplus is zero too). Each slice runs the
+    plain single kernel — back inside the measured envelope — and the
+    wrapper stitches:
+
+    - activations: halo output columns are discarded (the outermost
+      slice column sees the kernel's own SAME-padded slice edge, wrong
+      for an interior seam; the conv reach is 1 column, so the 8-column
+      halo has 7 to spare) and owned spans concatenate exactly.
+    - Gram: each slice masks its accumulation to its OWNED column
+      window (``gram_cols``) in BOTH directions, so every column
+      contributes exactly once; the wrapper rescales the per-slice
+      ``h * slice_w`` normalization onto the global ``h * w``.
+    - input cotangent: reverse-mode through the pad/slice/concat
+      overlap-SUMS per-slice ``dx``. Each owned column's full ``dpre``
+      (output cotangent + Gram term, both zero on non-owned columns —
+      the output cotangent because halo outputs were discarded, the
+      Gram term because the backward masks ``S @ f`` to the same owned
+      window) is computed exactly once, in its owner slice, and its
+      3-tap reach lands inside that slice's halo, so the summed
+      overlaps reproduce the unsliced cotangent.
+
+    ``slices`` forces the slice count (tests; production counts come
+    from the vmem gate). A count of 1 (or a shape the gate covers with
+    the plain single) degenerates to the unsliced kernel. With ``mesh``
+    the per-slice kernels are the H-sharded ones
+    (:func:`make_sharded_single`) — W tiling composes with the spatial
+    mesh because the two act on different axes.
+    """
+    from style_transfer_tpu.ops.pallas import vmem as VM
+
+    def _build(window):
+        gc = window if gram else None
+        if mesh is None:
+            return make_conv_single(pool=pool, gram=gram, gram_cols=gc)
+        return make_sharded_single(mesh, axis, pool=pool, gram=gram,
+                                   gram_cols=gc)
+
+    def wide(x, k, b):
+        _, h, w, cin = x.shape
+        cout = k.shape[3]
+        n = slices
+        if n is None:
+            n = VM.wide_slices(w, cin, cout, pool=pool, gram=gram)
+        if n is None or n == 1:
+            return _build(None)(x, k, b)
+        hw = VM.WIDE_HALO
+        ow = VM.wide_owned(w, n)
+        xe = jnp.pad(x, ((0, 0), (0, 0), (hw, n * ow - w + hw), (0, 0)))
+        interior = _build((hw, hw + ow))
+        last_owned = w - (n - 1) * ow
+        final = interior if last_owned == ow else _build((hw, hw + last_owned))
+        outs, grams = [], []
+        lo = hw // 2 if pool else hw
+        span = ow // 2 if pool else ow
+        for j in range(n):
+            xs = jax.lax.slice_in_dim(xe, j * ow, j * ow + ow + 2 * hw, axis=2)
+            r = (final if j == n - 1 else interior)(xs, k, b)
+            o, g = r if gram else (r, None)
+            outs.append(o[:, :, lo : lo + span])
+            if gram:
+                grams.append(g)
+        out = jnp.concatenate(outs, axis=2)[:, :, : (w // 2 if pool else w)]
+        if not gram:
+            return out
+        gt = grams[0]
+        for g_ in grams[1:]:
+            gt = gt + g_
+        # per-slice kernels normalized by h * slice_w; global is h * w
+        return out, gt * (jnp.float32(ow + 2 * hw) / jnp.float32(w))
+
+    return wide
+
+
+def make_wide_pair_of_singles(*, pool: bool, gram: bool, mesh=None,
+                              axis=None, slices=None):
+    """:func:`make_pair_of_singles` built from two W-tiled singles — the
+    ``'wide'`` arm of ``vmem.segment_impl``, for two-conv block segments
+    beyond the single envelope (eff > 4096). Each conv picks its own
+    slice count (a conv the plain single covers runs unsliced)."""
+    first = make_wide_single(pool=False, gram=gram, mesh=mesh, axis=axis,
+                             slices=slices)
+    second = make_wide_single(pool=pool, gram=False, mesh=mesh, axis=axis,
+                              slices=slices)
+
+    def pair(x, k1, b1, k2, b2):
+        if gram:
+            y1, g = first(x, k1, b1)
+            return second(y1, k2, b2), g
+        return second(first(x, k1, b1), k2, b2)
+
+    return pair
+
+
 # ------------------------------------------- single convs on a spatial mesh
 
 HALO = 2  # rows of input halo each way: dx rows [lo, hi) need dpre
@@ -434,7 +577,7 @@ HALO = 2  # rows of input halo each way: dx rows [lo, hi) need dpre
 # and 2 keeps the extension even-aligned for the 2x2 pool row pairing.
 
 
-def _local_single_fwd(x, k, b, *, axis, n_dev, pool, gram):
+def _local_single_fwd(x, k, b, *, axis, n_dev, pool, gram, gram_cols=None):
     """Per-device forward body (inside shard_map): 2-row ``ppermute``
     input halos, the kernel over the extended rows in GLOBAL coordinates,
     center-sliced output, ``psum``'d Gram. Edge devices receive
@@ -449,7 +592,7 @@ def _local_single_fwd(x, k, b, *, axis, n_dev, pool, gram):
     cout = k.shape[3]
     out, y, g = _fwd(
         _pad_rows(xe, _tile_for(w, cout)), k, b, n_dev * h_l, pool, gram,
-        off=off, gram_rows=(HALO, HALO + h_l),
+        off=off, gram_rows=(HALO, HALO + h_l), gram_cols=gram_cols,
     )
     out_c = out[HALO // 2 : HALO // 2 + h_l // 2] if pool else out[HALO : HALO + h_l]
     rets = (out_c[None], y)
@@ -458,7 +601,8 @@ def _local_single_fwd(x, k, b, *, axis, n_dev, pool, gram):
     return rets
 
 
-def _local_single_bwd(y, d_out, s, k, *, axis, n_dev, pool, gram):
+def _local_single_bwd(y, d_out, s, k, *, axis, n_dev, pool, gram,
+                      gram_cols=None):
     """Per-device backward body: the stored activation already covers the
     2-row extension, so only the output cotangent needs a halo
     ``ppermute`` (one pooled row when ``pool``, one full row otherwise);
@@ -483,11 +627,13 @@ def _local_single_bwd(y, d_out, s, k, *, axis, n_dev, pool, gram):
     )
     idx = jax.lax.axis_index(axis)
     off = idx * h_l - HALO
-    dx = _bwd(y, k, dqe, s, n_dev * h_l, pool, gram, off=off)
+    dx = _bwd(y, k, dqe, s, n_dev * h_l, pool, gram, off=off,
+              gram_cols=gram_cols)
     return dx[HALO : HALO + h_l][None]
 
 
-def make_sharded_single(mesh, axis: str, *, pool: bool, gram: bool):
+def make_sharded_single(mesh, axis: str, *, pool: bool, gram: bool,
+                        gram_cols=None):
     """:func:`make_conv_single` carried onto a 1-D spatial mesh.
 
     Returns a drop-in for the matching unsharded single, for NHWC inputs
@@ -508,14 +654,16 @@ def make_sharded_single(mesh, axis: str, *, pool: bool, gram: bool):
     # check_vma=False: pallas_call outputs carry no varying-mesh-axes
     # annotation (same situation as make_sharded_pair).
     body_fwd = jax.shard_map(
-        functools.partial(_local_single_fwd, **kw),
+        functools.partial(_local_single_fwd, gram_cols=gram_cols, **kw),
         mesh=mesh,
         in_specs=(img, P(), P()),
         out_specs=(img, rows) + ((P(),) if gram else ()),
         check_vma=False,
     )
     if gram:
-        bwd_body = functools.partial(_local_single_bwd, **kw)
+        bwd_body = functools.partial(
+            _local_single_bwd, gram_cols=gram_cols, **kw
+        )
         bwd_in = (rows, img, P(), P())
     else:
         def bwd_body(y, d_out, k):

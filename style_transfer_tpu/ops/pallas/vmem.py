@@ -191,6 +191,58 @@ def single_fits(
     return True
 
 
+#: Halo columns each side of a wide-dispatch W slice (conv_single.
+#: make_wide_single). 8 columns = half a sublane tile, so owned widths
+#: on the 16 grid keep every slice width on the 16 grid; the conv's
+#: column reach is 1, the backward's dpre reach adds 1 more, and the
+#: remaining 6 columns absorb the kernels' own SAME-padded slice-edge
+#: garbage with even (pool-pairable) alignment to spare.
+WIDE_HALO = 8
+
+#: Largest W-slice count the wide dispatch will try. 8 slices take the
+#: largest conceivable per-slice eff (SINGLE_EFF_LIMIT-bounded) down 8x;
+#: past that the per-slice halo overhead (16/ow columns) stops being
+#: negligible and the shape is better served by the mesh axis.
+WIDE_MAX_SLICES = 8
+
+
+def wide_owned(w: int, n: int) -> int:
+    """Owned columns per W slice when ``w`` splits into ``n`` wide
+    slices: ceil(w / n) rounded UP to the sublane grid, so every slice
+    width (owned + 2 * WIDE_HALO) stays 16-aligned and n * owned covers
+    w (the tail slice's surplus is zero-padded and Gram-masked)."""
+    a = -(-w // n)
+    return -(-a // SUBLANE) * SUBLANE
+
+
+def wide_slices(
+    w: int, cin: int, cout: int, *, pool: bool, gram: bool,
+    tpu: bool | None = None,
+):
+    """W-slice count for the wide-singles dispatch
+    (``conv_single.make_wide_single``), or ``None``.
+
+    The single kernels' measured envelope ends at eff 4096 (the probed
+    8K block shapes fail scoped VMEM: (2048, .., 256) at 20.00M,
+    (1024, .., 512) at 16.50M — module table). Beyond it the wide
+    dispatch splits W at the JAX level into ``n`` slices of
+    ``ceil16(w/n)`` owned columns + ``WIDE_HALO`` halo columns each
+    side, every slice back inside the single envelope; this gate
+    returns the smallest such ``n`` (>= 2). ``None`` when the plain
+    single already fits (callers should prefer it — no halo overhead)
+    or when no slice count lands inside the envelope."""
+    if not _aligned(w, tpu):
+        return None
+    if single_fits(w, cin, cout, pool=pool, gram=gram, tpu=tpu):
+        return None
+    for n in range(2, WIDE_MAX_SLICES + 1):
+        ow = wide_owned(w, n)
+        if single_fits(ow + 2 * WIDE_HALO, cin, cout, pool=pool,
+                       gram=gram, tpu=tpu):
+            return n
+    return None
+
+
 def segment_impl(
     w: int, cin: int, cmid: int, *, pool: bool, gram: bool,
     tpu: bool | None = None,
@@ -198,7 +250,8 @@ def segment_impl(
     """Implementation choice for one two-conv block segment
     (conv a: cin->cmid [+Gram], conv b: cmid->cmid [+pool]):
     ``'pair'`` (fused two-conv kernel), ``'singles'`` (two single-conv
-    kernels), or ``None`` (XLA).
+    kernels), ``'wide'`` (two W-tiled singles — eff > 4096, the
+    5120..8192px ladders), or ``None`` (XLA).
 
     Singles are not just the beyond-the-pair-envelope fallback: AT the
     pair envelope's edge (eff 2048, the 2048px ladder's shapes) both
@@ -222,6 +275,20 @@ def segment_impl(
     # eff == PAIR_EFF_LIMIT (the only eff the first branch skipped) is
     # inside the singles envelope too, so the singles branch above has
     # already taken it — no trailing pair fallback exists.
+    def _coverable(cin_, pool_, gram_):
+        # the wide wrapper runs a conv that fits plainly as ONE slice,
+        # so per-conv coverage is single OR wide
+        return single_fits(
+            w, cin_, cmid, pool=pool_, gram=gram_, tpu=tpu
+        ) or wide_slices(
+            w, cin_, cmid, pool=pool_, gram=gram_, tpu=tpu
+        ) is not None
+
+    if _coverable(cin, False, gram) and _coverable(cmid, pool, False):
+        # Beyond the single envelope (eff > 4096 — the 5120..8192px
+        # ladders' block shapes): W-tiled singles, each slice back
+        # inside the measured envelope (conv_single.make_wide_single).
+        return "wide"
     return None
 
 

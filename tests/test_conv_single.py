@@ -324,3 +324,168 @@ def test_gram_tail_impl_gate():
     assert VM.gram_tail_impl(1024, 512, tpu=True) is None        # 16384px
     assert VM.gram_tail_impl(250, 512, tpu=True) is None         # off-grid
     assert VM.gram_tail_impl(250, 512, tpu=False) == "conv_gram" # interpret
+
+
+# --------------------------------------------------- W-tiled (wide) singles
+
+
+@pytest.mark.parametrize("pool,gram", [(False, True), (False, False),
+                                       (True, False)])
+def test_wide_single_matches_oracle(pool, gram):
+    """make_wide_single (forced 2 slices) == the XLA oracle — values,
+    Gram, and input gradient. The wide path is the eff > 4096 dispatch
+    (8192px-scale block shapes); forcing the slice count exercises the
+    halo/ownership machinery at test sizes."""
+    r = np.random.RandomState(31)
+    k, b = _w(r, 64, 128)
+    x = jnp.asarray(r.randn(1, 8, 64, 64).astype(np.float32) * 0.3)
+    assert _margin_ok(x, [(k, b)]) > 2e-6
+    wide = CS.make_wide_single(pool=pool, gram=gram, slices=2)
+
+    def oracle(x):
+        y = jax.nn.relu(V._conv(x, k, b))
+        if pool:
+            y = V._pool(y, "average", None)
+        if gram:
+            return y, L.gram_matrix(jax.nn.relu(V._conv(x, k, b)))
+        return y
+
+    def loss(f):
+        def inner(x):
+            out = f(x)
+            if gram:
+                y, g = out
+                return jnp.sum(y.astype(jnp.float32) ** 2) + 10.0 * jnp.sum(
+                    g.astype(jnp.float32) ** 2
+                )
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+        return inner
+
+    o_ref = oracle(x)
+    o_k = jax.jit(lambda x: wide(x, k, b))(x)
+    if gram:
+        np.testing.assert_allclose(np.asarray(o_k[0]), np.asarray(o_ref[0]),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(o_k[1]), np.asarray(o_ref[1]),
+                                   rtol=1e-5, atol=1e-5)
+    else:
+        np.testing.assert_allclose(np.asarray(o_k), np.asarray(o_ref),
+                                   atol=1e-4)
+    v1, g1 = jax.jit(jax.value_and_grad(loss(oracle)))(x)
+    v2, g2 = jax.jit(jax.value_and_grad(
+        loss(lambda x: wide(x, k, b))
+    ))(x)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-5)
+    scale = float(jnp.max(jnp.abs(g1)))
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                               atol=2e-5 * max(1.0, scale))
+
+
+def test_wide_single_uneven_tail():
+    """A width that does not divide by the slice count: W=80 over 3
+    slices -> owned 32/32/16 with a zero-padded, Gram-masked surplus on
+    the tail slice. Values, Gram, and gradient must still match."""
+    r = np.random.RandomState(34)  # 33 is a CPU-backend ReLU knife edge
+    k, b = _w(r, 32, 64)
+    x = jnp.asarray(r.randn(1, 6, 80, 32).astype(np.float32) * 0.3)
+    assert _margin_ok(x, [(k, b)]) > 2e-6
+    wide = CS.make_wide_single(pool=False, gram=True, slices=3)
+    y_ref = jax.nn.relu(V._conv(x, k, b))
+    g_ref = L.gram_matrix(y_ref)
+
+    def loss(f):
+        def inner(x):
+            y, g = f(x)
+            return jnp.sum(y.astype(jnp.float32) ** 2) + 10.0 * jnp.sum(g**2)
+        return inner
+
+    y_k, g_k = jax.jit(lambda x: wide(x, k, b))(x)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)
+    v1, d1 = jax.jit(jax.value_and_grad(loss(
+        lambda x: (jax.nn.relu(V._conv(x, k, b)),
+                   L.gram_matrix(jax.nn.relu(V._conv(x, k, b))))
+    )))(x)
+    v2, d2 = jax.jit(jax.value_and_grad(loss(lambda x: wide(x, k, b))))(x)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-5)
+    scale = float(jnp.max(jnp.abs(d1)))
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                               atol=2e-5 * max(1.0, scale))
+
+
+def test_wide_single_degenerates_unsliced():
+    """slices=1 (or a gate-covered shape with slices=None) must be the
+    plain single bit-for-bit."""
+    r = np.random.RandomState(34)
+    k, b = _w(r, 64, 128)
+    x = jnp.asarray(r.randn(1, 8, 16, 64).astype(np.float32) * 0.3)
+    y1, g1 = CS.make_wide_single(pool=False, gram=True, slices=1)(x, k, b)
+    y0, g0 = CS.single_gram(x, k, b)
+    assert np.array_equal(np.asarray(y1), np.asarray(y0))
+    assert np.array_equal(np.asarray(g1), np.asarray(g0))
+    y2, g2 = CS.make_wide_single(pool=False, gram=True)(x, k, b)
+    assert np.array_equal(np.asarray(y2), np.asarray(y0))
+
+
+def test_wide_pair_of_singles_matches_pair():
+    """The 'wide' segment arm == the fused pair (values, Gram, input
+    gradient) — the dispatch equivalence the 8192px ladder rides."""
+    r = np.random.RandomState(38)  # 35-37 are CPU-backend ReLU knife edges
+    (k1, b1), (k2, b2) = _w(r, 64, 128), _w(r, 128, 128)
+    x = jnp.asarray(r.randn(1, 8, 64, 64).astype(np.float32) * 0.3)
+    assert _margin_ok(x, [(k1, b1), (k2, b2)]) > 2e-6
+    wide = CS.make_wide_pair_of_singles(pool=True, gram=True, slices=2)
+
+    def loss(f):
+        def inner(x):
+            out, g = f(x, k1, b1, k2, b2)
+            return jnp.sum(out.astype(jnp.float32) ** 2) + 10.0 * jnp.sum(
+                g.astype(jnp.float32) ** 2
+            )
+        return inner
+
+    from style_transfer_tpu.ops.pallas import block2 as B2
+
+    # block2_fused is the pooled+gram pair form (CP.pair_gram is unpooled)
+    (o1, gr1) = B2.block2_fused(x, k1, b1, k2, b2)
+    (o2, gr2) = jax.jit(lambda x: wide(x, k1, b1, k2, b2))(x)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gr2), np.asarray(gr1),
+                               rtol=1e-5, atol=1e-5)
+    v1, d1 = jax.jit(jax.value_and_grad(loss(B2.block2_fused)))(x)
+    v2, d2 = jax.jit(jax.value_and_grad(loss(wide)))(x)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-5)
+    scale = float(jnp.max(jnp.abs(d1)))
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                               atol=2e-5 * max(1.0, scale))
+
+
+def test_sharded_wide_single_matches_unsharded(mesh8):
+    """W tiling composes with the H mesh (different axes): the sharded
+    wide single == the unsharded wide single == the oracle."""
+    r = np.random.RandomState(37)  # 36 is a CPU-backend ReLU knife edge
+    k, b = _w(r, 64, 128)
+    x = jnp.asarray(r.randn(1, 16, 64, 64).astype(np.float32) * 0.3)
+    assert _margin_ok(x, [(k, b)]) > 2e-6
+    wide_u = CS.make_wide_single(pool=False, gram=True, slices=2)
+    wide_s = CS.make_wide_single(pool=False, gram=True, slices=2,
+                                 mesh=mesh8, axis=mesh_mod.SPATIAL_AXIS)
+
+    def loss(f):
+        def inner(x):
+            y, g = f(x, k, b)
+            return jnp.sum(y.astype(jnp.float32) ** 2) + 10.0 * jnp.sum(g**2)
+        return inner
+
+    yu, gu = jax.jit(lambda x: wide_u(x, k, b))(x)
+    ys, gs = jax.jit(lambda x: wide_s(x, k, b))(x)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(yu), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gu),
+                               rtol=1e-5, atol=1e-5)
+    v1, d1 = jax.jit(jax.value_and_grad(loss(wide_u)))(x)
+    v2, d2 = jax.jit(jax.value_and_grad(loss(wide_s)))(x)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-5)
+    scale = float(jnp.max(jnp.abs(d1)))
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                               atol=2e-5 * max(1.0, scale))

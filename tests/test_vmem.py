@@ -99,11 +99,17 @@ def test_segment_impl_ladder_decisions():
     assert VM.segment_impl(1024, 256, 256, pool=True, gram=False) == "singles"
     assert VM.segment_impl(512, 256, 512, pool=False, gram=True) == "singles"
     assert VM.segment_impl(512, 512, 512, pool=True, gram=False) == "singles"
-    # beyond the probed envelope (an 8K run's block 2): XLA
-    assert VM.segment_impl(4096, 64, 128, pool=True, gram=True) is None
+    # beyond the single envelope (an 8K run's block 2): W-tiled singles
+    assert VM.segment_impl(4096, 64, 128, pool=True, gram=True) == "wide"
     # a width that cannot W-chunk cleanly must not compile a full-width
-    # fp32 accumulator (4094px: half-width 2047 has no clean factor)
-    assert VM.segment_impl(2047, 64, 128, pool=False, gram=True) is None
+    # fp32 accumulator (4094px: half-width 2047 has no clean factor).
+    # On hardware it stays on XLA (off the sublane grid); in interpret
+    # mode the WIDE form covers it — its slices are 16-aligned and the
+    # clipped tail window handles any true width.
+    assert VM.segment_impl(2047, 64, 128, pool=False, gram=True,
+                           tpu=True) is None
+    assert VM.segment_impl(2047, 64, 128, pool=False, gram=True,
+                           tpu=False) == "wide"
 
 
 def test_misaligned_widths_stay_on_xla():
@@ -155,7 +161,7 @@ def test_alignment_gate_scoped_to_mosaic_compiles():
     assert VM.pair_fits(264, 64, 128, pool=True, gram=True, tpu=False)
     # the eff envelope still applies in interpret mode (impl choice
     # must mirror TPU dispatch so CPU tests exercise the same paths)
-    assert VM.segment_impl(4096, 64, 128, pool=True, gram=True) is None
+    assert VM.segment_impl(4096, 64, 128, pool=True, gram=True) == "wide"
     assert VM.segment_impl(1024, 64, 128, pool=True, gram=True) == "singles"
 
 
@@ -253,3 +259,40 @@ def test_every_ladder_shape_is_validated():
             size // 2, 64, 128, pool=True, gram=True
         ) is not None, f"{size}px: neither fused block 1 nor a chain entry"
         assert VM.conv_gram_fits(size // 16, 512) or size > 4096
+
+
+def test_wide_gate_covers_8k_ladder():
+    """Beyond the single envelope (eff > 4096), segment_impl returns
+    'wide' with a slice count that puts every slice back inside the
+    measured single envelope — the 8192px ladder's block shapes all
+    land there (each at 3 slices), while 4096px keeps plain singles."""
+    eight_k = [
+        (4096, 64, 128, True, True),
+        (2048, 128, 256, False, True),
+        (2048, 256, 256, True, False),
+        (1024, 256, 512, False, True),
+        (1024, 512, 512, True, False),
+    ]
+    for w, cin, cmid, pool, gram in eight_k:
+        assert VM.segment_impl(w, cin, cmid, pool=pool, gram=gram,
+                               tpu=True) == "wide", (w, cmid)
+        for cin_, pool_, gram_ in ((cin, False, gram), (cmid, pool, False)):
+            n = VM.wide_slices(w, cin_, cmid, pool=pool_, gram=gram_,
+                               tpu=True)
+            assert n is not None
+            ow = VM.wide_owned(w, n)
+            assert ow % VM.SUBLANE == 0
+            assert n * ow >= w
+            assert VM.single_fits(ow + 2 * VM.WIDE_HALO, cin_, cmid,
+                                  pool=pool_, gram=gram_, tpu=True)
+    # inside the single envelope the wide gate stands down
+    assert VM.segment_impl(2048, 64, 128, pool=True, gram=True,
+                           tpu=True) == "singles"
+    assert VM.wide_slices(2048, 64, 128, pool=True, gram=True,
+                          tpu=True) is None
+    # off the sublane grid the wide gate stays off on hardware too
+    assert VM.wide_slices(4104, 64, 128, pool=True, gram=True,
+                          tpu=True) is None
+    # and far beyond the largest covered eff it admits defeat
+    assert VM.wide_slices(40960, 512, 512, pool=False, gram=True,
+                          tpu=True) is None
