@@ -13,6 +13,21 @@ Smoke (CPU):   python scripts/validate_kernels.py --sizes 64 --repeats 1
 Prints one human table to stderr and one JSON line per (kernel, size) to
 stdout. Exit code 0 iff every requested case passed.
 
+Probe inputs are fed CHAIN-STYLE by default: the kernel input is produced
+by an on-device elementwise op inside the jit rather than arriving as a
+jit parameter. This matches how the api chain actually calls every kernel
+(each input is an upstream kernel/preprocess output) and it matters: a
+controlled bisect on v5e (round 5) showed `pair_pool` at the 1024px
+block-4 shape (1,128,128,512) FAILS Mosaic scoped-VMEM at 18.03M (grad) /
+21.53M (fwd) when its input is a raw jit parameter, yet compiles in ~10 s
+with the identical shape, dtype, and consumer when the input is an
+intermediate. Mosaic compiles after XLA layout assignment
+(needs_layout_passes): parameter default layouts pin the operand tiling,
+while intermediates take the layout the custom call prefers. A
+layout-transparent `optimization_barrier` does NOT restore the envelope —
+only a real producer op does. `--param-input` reproduces the
+parameter-layout variant (expect the failures above).
+
 The reference has no analogue — its kernels are external Caffe/cuDNN
 (SURVEY.md section 2 row 15, reconstructed); this harness is how the
 replacement tier's per-size compile envelope is validated on real
@@ -52,6 +67,11 @@ def main(argv=None) -> int:
     p.add_argument("--force-gated", action="store_true",
                    help="compile even the cases the vmem gate excludes "
                         "(expected to fail; probes the envelope edge)")
+    p.add_argument("--param-input", action="store_true",
+                   help="feed the kernel input as a raw jit parameter "
+                        "instead of the default chain-style intermediate "
+                        "(reproduces the Mosaic parameter-layout scoped-"
+                        "VMEM anomaly — see the module docstring)")
     p.add_argument("--repeats", type=int, default=20,
                    help="timing repeats (compile + correctness always run)")
     p.add_argument("--rtol", type=float, default=2e-2,
@@ -124,8 +144,15 @@ def main(argv=None) -> int:
             log(f"  {name}@{size}: GATED OFF (vmem) — skipped")
             print(json.dumps(rec), flush=True)
             return True
-        gk = jax.jit(jax.value_and_grad(lambda x: scalar_loss(kfn(x))))
-        gx = jax.jit(jax.value_and_grad(lambda x: scalar_loss(xfn(x))))
+        # Chain-style input (module docstring): both sides see the same
+        # on-device producer, so the kernel compiles in the layout context
+        # the api chain gives it and the oracle comparison is unchanged.
+        if args.param_input:
+            chain_in = lambda x: x  # noqa: E731 — raw parameter layout
+        else:
+            chain_in = lambda x: jax.nn.relu(x + 0.1)  # noqa: E731
+        gk = jax.jit(jax.value_and_grad(lambda x: scalar_loss(kfn(chain_in(x)))))
+        gx = jax.jit(jax.value_and_grad(lambda x: scalar_loss(xfn(chain_in(x)))))
         try:
             t0 = time.perf_counter()
             vk, dk = gk(x)

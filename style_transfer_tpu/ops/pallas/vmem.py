@@ -79,6 +79,21 @@ they are gated to the aligned grid too. Sub-tile widths (w < 16, one
 padded sublane tile) stay in: the driver's 64px-image compile contract
 has exercised pair@8 and conv_gram@4 on hardware every round.
 
+**The envelope is measured in the chain's layout context.** Mosaic
+compiles after XLA layout assignment (``needs_layout_passes``), so the
+same kernel at the same shape can peak differently depending on what
+produces its input. A round-5 bisect on v5e: ``pair_pool`` at the
+1024px block-4 shape (1,128,128,512) fails scoped VMEM at 18.03M
+(grad) / 21.53M (fwd-only) when its input is a raw **jit parameter**,
+yet compiles in ~10 s when the input is any on-device intermediate —
+which is the only way the api chain ever calls a kernel (every input
+is an upstream kernel/preprocess output). A layout-transparent
+``optimization_barrier`` does NOT restore the envelope; a real
+producer op does. The gates below therefore model the chain's
+(intermediate-input) envelope, and ``scripts/validate_kernels.py``
+probes chain-style by default (``--param-input`` reproduces the
+parameter-layout variant).
+
 The pattern: at eff 4096 the H-tile bottoms out at 2 rows, so the
 kernels' fixed +2/+4 extension rows stop amortizing — a pair/block-1
 BODY alone (one ~(tile+4)-row bf16 value per pipeline stage, ~5 stages,
