@@ -45,6 +45,10 @@ def main(argv=None) -> int:
     p.add_argument("--chunk-size", type=int, default=5)
     p.add_argument("--cpu", action="store_true",
                    help="pin the CPU backend (smoke runs)")
+    p.add_argument("--kernels", choices=("auto", "off"), default="auto",
+                   help="'off' disables the whole fused Pallas tier "
+                        "(use_fused=False) to bisect ceiling failures "
+                        "between the Mosaic kernels and plain XLA")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -72,6 +76,10 @@ def main(argv=None) -> int:
     # Dispatch picture per scale, from the same gates the chain uses.
     scales = scale_ladder((args.size, args.size), min_scale=args.min_scale)
     for h, w in scales:
+        if args.kernels == "off":
+            print(json.dumps({"scale": w, "dispatch": "xla (forced)"}),
+                  flush=True)
+            continue
         print(json.dumps({"scale": w, "dispatch": {
             "block1": "packed" if VM.block1_fits(w, tpu=True) else "xla",
             "b2": VM.segment_impl(w // 2, 64, 128, pool=True, gram=True,
@@ -97,6 +105,7 @@ def main(argv=None) -> int:
         iterations=tuple(iters[: len(scales)]),
         chunk_size=args.chunk_size,
         optimizer=OptimizerSpec("adam", learning_rate=0.05),
+        use_fused=args.kernels != "off",
     )
 
     # Per-scale wall-clock: time between callback events belongs to the
@@ -141,6 +150,7 @@ def main(argv=None) -> int:
         "value": round(total, 2),
         "unit": "s",
         "backend": backend,
+        "kernels": args.kernels,
         "iterations": list(cfg.iterations),
         "error": err,
     }), flush=True)
