@@ -306,6 +306,34 @@ def _style_size(style_hw, scale_hw, style_scale: float) -> Tuple[int, int]:
     return sh - sh % 2, sw - sw % 2
 
 
+#: Largest per-device element count the XLA:TPU toolchain compiles for one
+#: tensor. Programs whose block-1 activation (H, W, 64 — the largest tensor
+#: any VGG program materializes, 64 channels at full resolution) crosses
+#: 2**31 elements crash the compiler before buffer assignment, on the plain
+#: XLA path and the Pallas path alike. Empirically bisected on v5e
+#: (round 5): a 5632x5632 capture compiles (5632^2*64 = 2.03e9), 5888x5888
+#: does not (2.22e9) — and 6144/7168/8192 fail identically with the Pallas
+#: tier force-disabled, so the limit is the toolchain's, not a kernel or
+#: HBM bound (5888^2*64*2 bytes = 4.1 GB of 16 GB HBM). The limit is
+#: PER DEVICE: H-sharding over a mesh divides exactly this tensor, which is
+#: how >5792px sizes are meant to run (parallel/mesh.py; an 8-device mesh
+#: lifts the square ceiling past 16K).
+TPU_MAX_TENSOR_ELEMENTS = 2 ** 31
+
+
+def resolution_ceiling_excess(
+    sizes, n_dev: int = 1
+) -> Optional[Tuple[int, int]]:
+    """First (H, W) from ``sizes`` whose per-device block-1 activation
+    exceeds :data:`TPU_MAX_TENSOR_ELEMENTS` (None = everything compiles).
+    Pure and host-only, so the single-chip resolution ceiling is testable
+    without TPU hardware."""
+    for h, w in sizes:
+        if -(-h // n_dev) * w * 64 > TPU_MAX_TENSOR_ELEMENTS:
+            return (h, w)
+    return None
+
+
 class StyleTransfer:
     """Stateful wrapper: model weights + mesh + jit caches.
 
@@ -1180,6 +1208,30 @@ class StyleTransfer:
                 f"grid_snap=True to snap automatically",
                 stacklevel=2,
             )
+        if jax.default_backend() == "tpu":
+            n_dev = self.mesh.devices.size if self.mesh is not None else 1
+            sizes = []
+            for s in plan:
+                sizes.append(s.size)
+                for st_t in style_ts:
+                    sizes.append(
+                        _style_size(st_t.shape[1:3], s.size, cfg.style_scale)
+                    )
+            over = resolution_ceiling_excess(sizes, n_dev)
+            if over is not None:
+                hw_max = TPU_MAX_TENSOR_ELEMENTS * n_dev // 64
+                raise ValueError(
+                    f"size {over} exceeds the single-device TPU resolution "
+                    f"ceiling: its block-1 activation ({over[0]}x{over[1]}x64 "
+                    f"= {over[0] * over[1] * 64 / 2 ** 31:.2f} * 2^31 elements "
+                    f"per device) crashes the XLA:TPU compiler (empirical "
+                    f"boundary: 5632^2 compiles, 5888^2 does not — "
+                    f"api.TPU_MAX_TENSOR_ELEMENTS). With {n_dev} device(s) "
+                    f"H*W must stay <= {hw_max} (square <= "
+                    f"{int(hw_max ** 0.5)}px). Shard over a mesh "
+                    f"(StyleTransfer(mesh=...)) — H-sharding divides exactly "
+                    f"this tensor — or reduce --size / --style-scale."
+                )
         key = jax.random.PRNGKey(cfg.seed)
         image: Optional[jnp.ndarray] = None
 

@@ -26,6 +26,18 @@ import jax
 import jax.numpy as jnp
 
 
+#: XLA:TPU compile ceiling for one flattened 2-D (S, C) operand: its
+#: lane-padded element count S * max(C, 128) must stay <= 2**31, or the
+#: compiler crashes before buffer assignment. Empirically bisected on v5e
+#: (round 5): style capture at 4096px — conv1_1's (16.78M, 64) flat operand,
+#: 16.78M * 128 = 2**31 EXACTLY — compiles and is driver-validated, while
+#: 5632px (31.7M * 128 = 1.89 * 2**31) crashes the compile helper, with the
+#: Pallas tier force-disabled too (the same program's 4-D NHWC conv
+#: activations compile fine at those sizes, so the limit is specific to the
+#: flat form). :func:`gram_matrix` chunks its contraction below this bound.
+FLAT_PAD_LIMIT = 2 ** 31
+
+
 def gram_matrix(feat: jnp.ndarray) -> jnp.ndarray:
     """(N, H, W, C) activations -> (C, C) float32 Gram, normalized by H*W*N.
 
@@ -44,12 +56,33 @@ def gram_matrix(feat: jnp.ndarray) -> jnp.ndarray:
     operand makes the operands distinct, so the rewrite no longer matches
     and the Gram stays a plain MXU dot. Measured full-step effect:
     40.0 -> 36.3 ms/it at 1024px, 9.4 -> 8.4 ms/it at 512px.
+
+    Beyond :data:`FLAT_PAD_LIMIT` (first crossed by conv1_1 above 4096px)
+    the flat operand itself stops compiling on TPU, so the contraction is
+    split into H-chunks — each chunk flattened and contracted in the same
+    barrier form, partial (C, C) products summed in fp32. The chunk count
+    is static and tiny (2 at 5632px, 4 at 8192px), so this unrolls into a
+    few dots feeding one add tree; autodiff of the chunked form also keeps
+    every backward intermediate under the same bound.
     """
     n, h, w, c = feat.shape
-    f = feat.reshape(n * h * w, c)
-    fb = jax.lax.optimization_barrier(f)
-    g = jnp.einsum("sc,sd->cd", f, fb, preferred_element_type=jnp.float32)
-    return g / jnp.asarray(n * h * w, jnp.float32)
+    s = n * h * w
+    k = 1
+    while k < h and -(-h // k) * n * w * max(c, 128) > FLAT_PAD_LIMIT:
+        k += 1
+    if k == 1:
+        f = feat.reshape(s, c)
+        fb = jax.lax.optimization_barrier(f)
+        g = jnp.einsum("sc,sd->cd", f, fb, preferred_element_type=jnp.float32)
+        return g / jnp.asarray(s, jnp.float32)
+    hc = -(-h // k)
+    g = jnp.zeros((c, c), jnp.float32)
+    for i in range(k):
+        chunk = jax.lax.slice_in_dim(feat, i * hc, min((i + 1) * hc, h), axis=1)
+        f = chunk.reshape(-1, c)
+        fb = jax.lax.optimization_barrier(f)
+        g = g + jnp.einsum("sc,sd->cd", f, fb, preferred_element_type=jnp.float32)
+    return g / jnp.asarray(s, jnp.float32)
 
 
 def content_loss(feat: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:

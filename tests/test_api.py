@@ -997,3 +997,41 @@ def test_max_pooling_warns_about_fused_chain(st, images, monkeypatch):
         st.stylize(content, style, _small_cfg(
             use_fused=True, iterations=(2,), packed_block1=False))
     assert not any("disables the fused" in str(x.message) for x in rec)
+
+
+def test_resolution_ceiling_excess_boundary():
+    """The pure ceiling predicate mirrors the hardware bisect (round 5):
+    5632^2 compiles (block-1 activation 5632^2*64 = 0.945 * 2^31), 5888^2
+    crashes (1.033 * 2^31); H-sharding divides the per-device count."""
+    from style_transfer_tpu import api as api_mod
+
+    assert api_mod.resolution_ceiling_excess([(5632, 5632)]) is None
+    assert api_mod.resolution_ceiling_excess([(5888, 5888)]) == (5888, 5888)
+    # exactly at the limit (4096px gram operand analogue): allowed
+    assert api_mod.resolution_ceiling_excess([(2 ** 31 // 64 // 4096, 4096)]) is None
+    # the mesh divides H: 8 devices lift 8192^2 far under the limit
+    assert api_mod.resolution_ceiling_excess([(8192, 8192)]) == (8192, 8192)
+    assert api_mod.resolution_ceiling_excess([(8192, 8192)], n_dev=8) is None
+    # first offender is reported, in order
+    assert api_mod.resolution_ceiling_excess(
+        [(512, 512), (6144, 6144), (8192, 8192)]
+    ) == (6144, 6144)
+
+
+def test_stylize_rejects_over_ceiling_size_on_tpu(st, images, monkeypatch):
+    """A single-device TPU run whose plan crosses the compile ceiling must
+    raise the actionable error BEFORE any compile (round 5; the raw failure
+    is an opaque compile-helper crash)."""
+    from style_transfer_tpu import api as api_mod
+
+    monkeypatch.setattr(api_mod.jax, "default_backend", lambda: "tpu")
+    content, style = images
+    with pytest.raises(ValueError, match="resolution ceiling"):
+        st.stylize(content, style, _small_cfg(
+            size=(5888, 5888), min_scale=5888, packed_block1=False))
+    # style_scale can push the STYLE capture over the ceiling even when
+    # the optimize sizes are fine
+    with pytest.raises(ValueError, match="resolution ceiling"):
+        st.stylize(content, style, _small_cfg(
+            size=(4096, 4096), min_scale=4096, style_scale=2.0,
+            packed_block1=False))

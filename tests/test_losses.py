@@ -94,3 +94,32 @@ def test_objective_terms_weighting(rng):
     np.testing.assert_allclose(float(terms["loss"]), float(expected), rtol=1e-6)
     np.testing.assert_allclose(float(terms["content"]), 1.0, rtol=1e-5)
     np.testing.assert_allclose(float(terms["style"]), 4.0, rtol=1e-5)
+
+
+def test_gram_chunked_matches_unchunked(rng, monkeypatch):
+    """Above losses.FLAT_PAD_LIMIT the Gram splits its contraction into
+    H-chunks (the XLA:TPU flat-operand compile ceiling, round 5 — see the
+    gram_matrix docstring); the chunked form must be numerically identical
+    in value AND gradient, including a non-divisible H (uneven last chunk)."""
+    feat = jnp.asarray(rng.randn(2, 13, 7, 5).astype(np.float32))
+    ref = L.gram_matrix(feat)
+    ref_g = jax.grad(lambda f: L.gram_matrix(f).sum())(feat)
+    # Force chunking: per-chunk padded budget of 3 rows' worth of lanes.
+    monkeypatch.setattr(L, "FLAT_PAD_LIMIT", 7 * 128 * 2 * 3)
+    chunked = L.gram_matrix(feat)
+    chunked_g = jax.grad(lambda f: L.gram_matrix(f).sum())(feat)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(ref),
+                               rtol=2e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(chunked_g), np.asarray(ref_g),
+                               rtol=2e-6, atol=1e-6)
+
+
+def test_gram_chunk_count_caps_at_rows(monkeypatch):
+    """A single row wider than the limit must not hang the chunk search
+    (k caps at H and the widest chunk is one row)."""
+    monkeypatch.setattr(L, "FLAT_PAD_LIMIT", 1)
+    feat = jnp.ones((1, 3, 4, 2), jnp.float32)
+    g = L.gram_matrix(feat)
+    np.testing.assert_allclose(
+        np.asarray(g), np.full((2, 2), 1.0), rtol=1e-6
+    )
